@@ -1,0 +1,278 @@
+"""Keypoint detection: scale-space extrema, NMS, selection, refinement.
+
+Reference kernels: gCalcExtremaMap (akazed.cu:1334-1393), gNmsRNaive
+(akazed.cu:1554-1613), gRefine (akazed.cu:1615-1662); fixed-point variants at
+akazed.cu:3476-3646.
+
+TPU design notes:
+  * The reference's documented benign data race (non-atomic RMW on the
+    full-resolution response/size/layer maps, akazed.cu:1364) becomes a
+    deterministic max/argmax over the scale axis followed by a strided
+    strictly-greater merge across octaves — same acceptance rule
+    (``response_map[oidx] < v``), no race.
+  * Atomic keypoint emission (atomicInc, akazed.cu:1603) becomes a masked
+    ``nonzero`` into fixed-size SoA tensors with a validity count.  On
+    overflow the reference keeps an arbitrary atomic-order subset
+    (akaze.cpp:451); we keep the first ``max_pts`` in row-major order,
+    which is deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .plan import PipelinePlan
+from .scale_space import OctaveData
+
+FMIN_VAL = -1.0e6          # akazed.cu:12
+IMIN_VAL = -(1 << 30)      # stand-in for the int map init (akaze.cpp:523)
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity SoA keypoint tensors (replaces the AoS AkazePoint
+    buffer, akaze_structures.h:19-40)."""
+    x: jax.Array         # [max_pts] float32, full-resolution coords
+    y: jax.Array         # [max_pts] float32
+    size: jax.Array      # [max_pts] float32 (octave-local sigma size)
+    layer: jax.Array     # [max_pts] int32: octave * max_scale + scale
+    response: jax.Array  # [max_pts] float32
+    valid: jax.Array     # [max_pts] bool
+    count: jax.Array     # scalar int32
+
+
+def _extrema_candidates(oct_data: OctaveData, oct_plan, threshold, fixed):
+    """Per-scale 3x3 strict maxima above threshold inside the border rect.
+
+    Returns (resp [S,H,W] with MIN where not a candidate, per-scale static
+    size table).
+    """
+    det = oct_data.det
+    s, h, w = det.shape
+    minval = IMIN_VAL if fixed else FMIN_VAL
+    pad = jnp.pad(det, ((0, 0), (1, 1), (1, 1)), mode="constant",
+                  constant_values=minval)
+    c = pad[:, 1:1 + h, 1:1 + w]
+    is_max = c > threshold
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            is_max &= c > pad[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
+    x_lo = jnp.asarray([sp.x_lo for sp in oct_plan.scales], jnp.int32)
+    x_hi = jnp.asarray([sp.x_hi for sp in oct_plan.scales], jnp.int32)
+    y_lo = jnp.asarray([sp.y_lo for sp in oct_plan.scales], jnp.int32)
+    y_hi = jnp.asarray([sp.y_hi for sp in oct_plan.scales], jnp.int32)
+    rect = ((rows >= y_lo[:, None, None]) & (rows <= y_hi[:, None, None])
+            & (cols >= x_lo[:, None, None]) & (cols <= x_hi[:, None, None]))
+    is_max &= rect
+    resp = jnp.where(is_max, c, minval)
+    return resp
+
+
+def build_extrema_maps(octaves: List[OctaveData], plan: PipelinePlan,
+                       fixed: bool = False):
+    """Full-resolution response/size/layer maps (akaze.cpp:249-258 init +
+    gCalcExtremaMap per octave)."""
+    cfg = plan.config
+    h0, w0 = plan.height, plan.width
+    minval = IMIN_VAL if fixed else FMIN_VAL
+    rdtype = jnp.int32 if fixed else jnp.float32
+    threshold = cfg.idthreshold if fixed else cfg.dthreshold
+
+    resp_full = jnp.full((h0, w0), minval, rdtype)
+    size_full = jnp.zeros((h0, w0), jnp.float32)
+    layer_full = jnp.full((h0, w0), -1, jnp.int32)
+
+    for oi, (odata, oplan) in enumerate(zip(octaves, plan.octaves)):
+        resp = _extrema_candidates(odata, oplan, threshold, fixed)
+        s, h, w = resp.shape
+        # deterministic cross-scale winner (replaces the benign race,
+        # akazed.cu:1361-1373): argmax picks the lowest scale on ties
+        best_s = jnp.argmax(resp, axis=0)
+        best = jnp.max(resp, axis=0)
+        sizes = jnp.asarray([sp.size for sp in oplan.scales], jnp.float32)
+        best_size = sizes[best_s]
+        best_layer = oi * cfg.max_scale + best_s.astype(jnp.int32)
+
+        r = 1 << oi
+        view_r = resp_full[0:h * r:r, 0:w * r:r]
+        take = best > view_r  # strictly greater: earlier octaves win ties
+        resp_full = resp_full.at[0:h * r:r, 0:w * r:r].set(
+            jnp.where(take, best, view_r))
+        view_s = size_full[0:h * r:r, 0:w * r:r]
+        size_full = size_full.at[0:h * r:r, 0:w * r:r].set(
+            jnp.where(take, best_size, view_s))
+        view_l = layer_full[0:h * r:r, 0:w * r:r]
+        layer_full = layer_full.at[0:h * r:r, 0:w * r:r].set(
+            jnp.where(take & (best > threshold), best_layer, view_l))
+
+    return resp_full, size_full, layer_full
+
+
+def nms(resp_full, size_full, layer_full, plan: PipelinePlan,
+        fixed: bool = False):
+    """Circular radius-R NMS (gNmsRNaive, akazed.cu:1554-1613).
+
+    A candidate survives unless a neighbor inside the circle
+    i^2 + j^2 < size^2 has strictly larger response, or an equal response in
+    the top-left quadrant (i <= 0 and j <= 0) — the reference tie-break
+    (akazed.cu:1586-1588).  Returns the survivor mask [H, W].
+    """
+    h, w = resp_full.shape
+    psz = plan.psz
+    rmax = plan.max_nms_radius
+    minval = IMIN_VAL if fixed else FMIN_VAL
+
+    fsz = size_full
+    # int sqsz = fsz * fsz truncates (akazed.cu:1571)
+    sqsz = (fsz * fsz).astype(jnp.int32)
+    pad = jnp.pad(resp_full, rmax, mode="constant", constant_values=minval)
+
+    suppressed = jnp.zeros((h, w), bool)
+    for i in range(-rmax, rmax + 1):
+        for j in range(-rmax, rmax + 1):
+            if i == 0 and j == 0:
+                continue
+            nresp = pad[rmax + i:rmax + i + h, rmax + j:rmax + j + w]
+            in_circle = jnp.int32(i * i + j * j) < sqsz
+            beats = (nresp > resp_full)
+            if i <= 0 and j <= 0:
+                beats |= (nresp == resp_full)
+            suppressed |= in_circle & beats
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # launch covers ix >= psz with the guard ix + psz < width
+    # (akazed.cu:1558-1563)
+    region = ((cols >= psz) & (cols + psz < w)
+              & (rows >= psz) & (rows + psz < h))
+    return (layer_full >= 0) & region & ~suppressed
+
+
+def select_keypoints(mask, resp_full, size_full, layer_full,
+                     max_pts: int) -> Keypoints:
+    """Masked compaction into fixed-size SoA tensors."""
+    h, w = mask.shape
+    flat = mask.ravel()
+    count = jnp.minimum(jnp.sum(flat.astype(jnp.int32)), max_pts)
+    (idx,) = jnp.nonzero(flat, size=max_pts, fill_value=0)
+    idx = idx.astype(jnp.int32)
+    valid = jnp.arange(max_pts, dtype=jnp.int32) < count
+    y = idx // w
+    x = idx % w
+    return Keypoints(
+        x=x.astype(jnp.float32), y=y.astype(jnp.float32),
+        size=size_full.ravel()[idx],
+        layer=layer_full.ravel()[idx],
+        response=resp_full.ravel()[idx].astype(jnp.float32),
+        valid=valid, count=count)
+
+
+class FlatPyramid(NamedTuple):
+    """All octave planes concatenated flat for per-keypoint gathers.
+
+    The TPU analogue of the reference's single ``tmem`` scratch buffer with
+    the ``d_oparams`` offset table (akazed.cu:23, 59): one gather serves all
+    keypoints regardless of their octave.
+    """
+    L: jax.Array      # [total]
+    det: jax.Array
+    lx: jax.Array
+    ly: jax.Array
+    offsets: jax.Array  # [noctaves] int32: start of each octave's stack
+    widths: jax.Array   # [noctaves] int32
+    heights: jax.Array  # [noctaves] int32
+    plane: jax.Array    # [noctaves] int32: H_o * W_o
+
+
+def flatten_pyramid(octaves: List[OctaveData]) -> FlatPyramid:
+    offs, widths, heights, planes = [], [], [], []
+    total = 0
+    for o in octaves:
+        s, h, w = o.det.shape
+        offs.append(total)
+        widths.append(w)
+        heights.append(h)
+        planes.append(h * w)
+        total += s * h * w
+    return FlatPyramid(
+        L=jnp.concatenate([o.L.ravel() for o in octaves]),
+        det=jnp.concatenate([o.det.ravel() for o in octaves]),
+        lx=jnp.concatenate([o.lx.ravel() for o in octaves]),
+        ly=jnp.concatenate([o.ly.ravel() for o in octaves]),
+        offsets=jnp.asarray(offs, jnp.int32),
+        widths=jnp.asarray(widths, jnp.int32),
+        heights=jnp.asarray(heights, jnp.int32),
+        plane=jnp.asarray(planes, jnp.int32))
+
+
+def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
+                     fixed: bool = False) -> Keypoints:
+    """Sub-pixel refinement (gRefine, akazed.cu:1615-1662): 3x3 quadratic
+    fit on the det plane; offsets outside (-1, 1) keep the integer
+    location."""
+    ms = plan.config.max_scale
+    o = kps.layer // ms
+    s = kps.layer % ms
+    o = jnp.maximum(o, 0)  # guard invalid slots (layer == -1)
+    wo = flat.widths[o]
+    base = flat.offsets[o] + s * flat.plane[o]
+    xo = kps.x.astype(jnp.int32) >> o
+    yo = kps.y.astype(jnp.int32) >> o
+    idx = base + yo * wo + xo
+
+    det = flat.det
+
+    def g(doff):
+        return det[idx + doff]
+
+    c = g(0)
+    if fixed:
+        # int arithmetic with arithmetic shifts (akazed.cu:3621-3627);
+        # int32 overflow wraps exactly as CUDA's int does
+        v2 = c + c
+        dx = (g(1) - g(-1)) >> 1
+        dy = (g(wo) - g(-wo)) >> 1
+        dxx = g(1) + g(-1) - v2
+        dyy = g(wo) + g(-wo) - v2
+        dxy = (g(wo + 1) + g(-wo - 1) - g(-wo + 1) - g(wo - 1)) >> 2
+        dd = dxx * dyy - dxy * dxy
+        dxf, dyf = dx.astype(jnp.float32), dy.astype(jnp.float32)
+        dxxf, dyyf = dxx.astype(jnp.float32), dyy.astype(jnp.float32)
+        dxyf = dxy.astype(jnp.float32)
+        idd = jnp.where(dd != 0, 1.0 / dd.astype(jnp.float32), 0.0)
+    else:
+        v2 = c + c
+        dxf = 0.5 * (g(1) - g(-1))
+        dyf = 0.5 * (g(wo) - g(-wo))
+        dxxf = g(1) + g(-1) - v2
+        dyyf = g(wo) + g(-wo) - v2
+        dxyf = 0.25 * (g(wo + 1) + g(-wo - 1) - g(-wo + 1) - g(wo - 1))
+        dd = dxxf * dyyf - dxyf * dxyf
+        idd = jnp.where(dd != 0.0, 1.0 / dd, 0.0)
+
+    dst0 = idd * (dxyf * dyf - dyyf * dxf)
+    dst1 = idd * (dxyf * dxf - dxxf * dyf)
+    weak = (dst0 < -1.0) | (dst0 > 1.0) | (dst1 < -1.0) | (dst1 > 1.0)
+    ratio = (1 << o).astype(jnp.float32)
+    new_x = ratio * (xo.astype(jnp.float32) + dst0)
+    new_y = ratio * (yo.astype(jnp.float32) + dst1)
+    keep = weak | ~kps.valid
+    return kps._replace(x=jnp.where(keep, kps.x, new_x),
+                        y=jnp.where(keep, kps.y, new_y))
+
+
+def detect_keypoints(octaves: List[OctaveData], plan: PipelinePlan,
+                     fixed: bool = False) -> Keypoints:
+    """Full detection stage: extrema maps -> NMS -> selection -> refine."""
+    resp, size, layer = build_extrema_maps(octaves, plan, fixed)
+    mask = nms(resp, size, layer, plan, fixed)
+    kps = select_keypoints(mask, resp, size, layer, plan.config.max_pts)
+    flat = flatten_pyramid(octaves)
+    return refine_keypoints(kps, flat, plan, fixed)

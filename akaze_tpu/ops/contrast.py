@@ -1,0 +1,63 @@
+"""Contrast factor estimation (percentile of the gradient magnitude).
+
+Replaces the reference's three-kernel + host-scan sequence
+(hScharrContrast, akazed.cu:2410-2484: gScharrContrastNaive ->
+gFindMaxContrastU4 atomicMax -> gConstrastHistShared atomics -> host
+percentile loop) with a deterministic histogram + searchsorted, entirely
+on-device.  No atomics needed: the 300-bin histogram is a one-hot sum and
+the percentile scan is a cumulative sum.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NBINS = 300  # akazed.cu:8
+
+
+def _percentile_bin(hist, npix: int, per: float):
+    """Host percentile loop (akazed.cu:2468-2481) as cumsum + searchsorted.
+
+    Returns k in [1, NBINS]: the smallest k with
+    sum(hist[1..k-1]) >= trunc((npix - hist[0]) * per).
+    """
+    thresh = ((npix - hist[0]).astype(jnp.float32) * per).astype(jnp.int32)
+    cprime = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(hist[1:]).astype(jnp.int32)])
+    m = jnp.searchsorted(cprime, thresh, side="left")
+    return jnp.minimum(m + 1, NBINS).astype(jnp.int32)
+
+
+def percentile_contrast(grad, per: float):
+    """Float path: kcontrast = k / hfactor with hfactor = NBINS/max_contrast.
+
+    ``grad``: [H, W] float32 gradient magnitudes.  The max is floored at
+    0.03 exactly as the host seeds d_max_contrast (akazed.cu:2413-2417).
+    Binning uses truncation toward zero (``__fmul_rz`` + int cast,
+    akazed.cu:892-896), clamped to NBINS-1.
+    """
+    h, w = grad.shape
+    max_contrast = jnp.maximum(jnp.float32(0.03), jnp.max(grad))
+    hfactor = NBINS / max_contrast
+    bins = jnp.clip((grad * hfactor).astype(jnp.int32), 0, NBINS - 1)
+    hist = jnp.zeros((NBINS,), jnp.int32).at[bins.ravel()].add(1)
+    k = _percentile_bin(hist, h * w, per)
+    return k.astype(jnp.float32) / hfactor
+
+
+def percentile_contrast_fixed(grad, per: float):
+    """Fixed-point path (akazed.cu:4098-4172).
+
+    ``grad``: [H, W] int32 magnitudes.  The max is floored at 1; the bin
+    factor is quantized 16.16 (akazed.cu:4138) and applied with ``>> 16``;
+    kcontrast = k * max_contrast / NBINS with integer division
+    (akazed.cu:4169).  Returns int32 kcontrast.
+    """
+    h, w = grad.shape
+    max_contrast = jnp.maximum(jnp.int32(1), jnp.max(grad))
+    hfactor = (NBINS / max_contrast.astype(jnp.float32) * 65536
+               + 0.5).astype(jnp.int32)
+    bins = jnp.clip((grad * hfactor) >> 16, 0, NBINS - 1)
+    hist = jnp.zeros((NBINS,), jnp.int32).at[bins.ravel()].add(1)
+    k = _percentile_bin(hist, h * w, per)
+    return k * max_contrast // NBINS

@@ -1,0 +1,121 @@
+"""End-to-end AKAZE pipeline: the TPU-native ``Akazer``.
+
+Replaces the host orchestration of akaze.cpp:101-201 (detectAndCompute /
+fastDetectAndCompute): the whole detect+describe path compiles into a single
+XLA program per static (height, width, fixed) signature, with no
+host<->device round trips (the reference synchronises after every kernel and
+copies the contrast histogram and point counter back to the host mid-pipeline,
+akazed.cu:2443,2465 / akaze.cpp:450).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import AkazeConfig
+from .descriptor import compute_descriptors, compute_orientation
+from .detect import Keypoints, detect_keypoints, flatten_pyramid
+from .match import Matches, match
+from .plan import PipelinePlan, build_plan
+from .scale_space import build_scale_space
+
+
+class Features(NamedTuple):
+    """Detection + description results in fixed-capacity SoA tensors."""
+    x: jax.Array         # [max_pts] float32 full-resolution coords
+    y: jax.Array
+    size: jax.Array      # [max_pts] float32
+    layer: jax.Array     # [max_pts] int32 octave * max_scale + scale
+    response: jax.Array  # [max_pts] float32
+    angle: jax.Array     # [max_pts] float32 in [0, 2*pi)
+    words: jax.Array     # [max_pts, 16] uint32 MLDB bits
+    valid: jax.Array     # [max_pts] bool
+    count: jax.Array     # scalar int32
+
+
+def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
+                       describe: bool = True) -> Features:
+    """Pure function: image -> Features.  Jit with ``plan``/``fixed`` static."""
+    octaves, _ = build_scale_space(image, plan, fixed)
+    kps = detect_keypoints(octaves, plan, fixed)
+    flat = flatten_pyramid(octaves)
+    if describe:
+        angle = compute_orientation(kps, flat, plan, fixed)
+        desc = compute_descriptors(kps, angle, flat, plan, fixed)
+        words = desc.words
+    else:
+        angle = jnp.zeros_like(kps.x)
+        words = jnp.zeros((kps.x.shape[0], 16), jnp.uint32)
+    return Features(x=kps.x, y=kps.y, size=kps.size, layer=kps.layer,
+                    response=kps.response, angle=angle, words=words,
+                    valid=kps.valid, count=kps.count)
+
+
+class Akaze:
+    """Convenience wrapper that caches plans and compiled programs per
+    image shape (the reference reuses its octave scratch the same way,
+    akaze.cpp:109-118)."""
+
+    def __init__(self, config: Optional[AkazeConfig] = None,
+                 fixed: bool = False):
+        self.config = config or AkazeConfig()
+        self.fixed = fixed
+        self._plans = {}
+        self._fns = {}
+
+    def plan_for(self, height: int, width: int) -> PipelinePlan:
+        key = (height, width)
+        if key not in self._plans:
+            self._plans[key] = build_plan(height, width, self.config)
+        return self._plans[key]
+
+    def _fn_for(self, height: int, width: int, describe: bool):
+        key = (height, width, describe)
+        if key not in self._fns:
+            plan = self.plan_for(height, width)
+            self._fns[key] = jax.jit(partial(
+                detect_and_compute, plan=plan, fixed=self.fixed,
+                describe=describe))
+        return self._fns[key]
+
+    def detect_and_compute(self, image, describe: bool = True) -> Features:
+        """image: [H, W] numpy/JAX array.
+
+        Float path expects values in [0, 1] (the demo divides by 255,
+        main.cpp:149-150); the fixed path expects raw uint8 values 0..255
+        (main.cpp:257-258).
+        """
+        image = jnp.asarray(image)
+        if self.fixed:
+            image = image.astype(jnp.int32)
+        else:
+            image = image.astype(jnp.float32)
+        h, w = image.shape
+        return self._fn_for(h, w, describe)(image)
+
+    @staticmethod
+    def match(f1: Features, f2: Features, max_dist: int = 96) -> Matches:
+        """Brute-force Hamming match of f1 against f2 (cuMatch,
+        akaze.cpp:55-64)."""
+        return _jit_match(f1.words, f1.valid, f2.words, f2.valid,
+                          f2.x, f2.y, max_dist)
+
+
+@partial(jax.jit, static_argnums=(6,))
+def _jit_match(w1, v1, w2, v2, x2, y2, max_dist):
+    return match(w1, v1, w2, v2, x2, y2, max_dist)
+
+
+def features_to_numpy(f: Features) -> dict:
+    """Host-side export: trims to the live count (the strided AoS copyback,
+    akaze.cpp:134-139)."""
+    n = int(f.count)
+    out = {k: np.asarray(v)[:n] for k, v in f._asdict().items()
+           if k not in ("count",)}
+    out["count"] = n
+    return out

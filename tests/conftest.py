@@ -1,0 +1,53 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so the
+suite is cluster-free (SURVEY.md §4) and sharding code paths are exercised
+without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the environment's sitecustomize may pin JAX_PLATFORMS to a TPU plugin;
+# override explicitly so tests are cluster-free
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def test_image(rng):
+    """Small synthetic test image with blob structure (float in [0, 1])."""
+    h, w = 192, 256
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w))
+    centers = rng.uniform(20, 170, size=(25, 2))
+    centers[:, 1] = rng.uniform(20, 236, size=25)
+    for (cy, cx), s, a in zip(centers, rng.uniform(2, 9, 25),
+                              rng.uniform(0.3, 1.0, 25)):
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img += 0.05 * rng.standard_normal((h, w))
+    img = np.clip(img, 0, 1)
+    return img.astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def stereo_pair():
+    """The reference's stock stereo pair if available, else None."""
+    base = "/root/reference/data"
+    left, right = os.path.join(base, "left.pgm"), os.path.join(
+        base, "right.pgm")
+    if not (os.path.exists(left) and os.path.exists(right)):
+        pytest.skip("reference stereo pair unavailable")
+    from akaze_tpu.io import load_pgm
+    return load_pgm(left), load_pgm(right)
