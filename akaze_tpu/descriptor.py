@@ -4,12 +4,18 @@ Reference kernels: gCalcOrient (akazed.cu:1665-1736; fixed akazed.cu:3649-3720)
 and gDescribe2 (akazed.cu:1869-2001; fixed akazed.cu:3723-3855), with the
 comparison-index tables from setCompareIndices (akazed.cu:65-159).
 
-TPU design: the per-keypoint sampling patterns (orientation disc, descriptor
-window, cell memberships, comparison pairs) are all *static* given the
-config, so they become constant numpy tables.  Per-keypoint work is then:
-one flat gather over the concatenated pyramid, a [N, 441] x [441, 29] cell-sum
-matmul on the MXU (replacing the warp-shuffle tree reduction,
-akazed.cu:1958-1983), and vectorised comparisons/packing.
+TPU design: TPUs have no fast per-lane gather, so instead of the reference's
+per-thread random reads we
+  1. extract one [WSIZE, WSIZE] window per keypoint around its (sub-pixel)
+     location with a vmapped ``dynamic_slice`` (block transfers);
+  2. resolve the sampling patterns *inside* the window with separable
+     one-hot matmuls on the MXU (a one-hot row/column select is an exact
+     gather expressed as a matrix product);
+  3. reduce cell sums with a [N, 441] x [441, 29] membership matmul
+     (replacing the warp-shuffle tree reduction, akazed.cu:1958-1983).
+
+All sampling geometry (orientation disc, descriptor grid, cell memberships,
+comparison pairs) is static given the config and lives in constant tables.
 """
 
 from __future__ import annotations
@@ -23,10 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DESCRIPTOR_BITS, DESCRIPTOR_WORDS
-from .detect import FlatPyramid, Keypoints
+from .detect import Keypoints, PaddedPyramid
 from .plan import PipelinePlan
 
 H_PI = math.pi / 2.0
+
+# Window big enough for the worst-case sampling radius:
+# descriptor |offset| <= scale * 10 * sqrt(2) + 1.5 <= 58.1 for scale 4
+# (sigma_size of the largest sublevel); orientation |offset| <= 5*scale + 1.
+WSIZE = 128
 
 
 def fast_atan2(y, x):
@@ -49,20 +60,17 @@ def fast_atan2(y, x):
 # --------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _orient_table():
-    """The 109-tap disc: i = (t & 15) - 6, j = (t / 16) - 6, keep i*i+j*j < 36
-    (akazed.cu:1692-1695)."""
-    ii, jj, wt = [], [], []
-    for t in range(13 * 16):
-        i = (t & 15) - 6
-        j = (t // 16) - 6
-        r2 = i * i + j * j
-        if r2 < 36:
-            ii.append(i)
-            jj.append(j)
-            wt.append(math.exp(-r2 * 0.08))
-    return (np.asarray(ii, np.int32), np.asarray(jj, np.int32),
-            np.asarray(wt, np.float32))
+def _orient_grid():
+    """11x11 grid (i, j in [-5, 5]) with the r^2 < 36 disc mask and Gaussian
+    weights exp(-r^2 * 0.08) (akazed.cu:1692-1697)."""
+    wt = np.zeros((11, 11), np.float32)
+    for a in range(11):       # row index -> j (vertical offset)
+        for b in range(11):   # col index -> i (horizontal offset)
+            j, i = a - 5, b - 5
+            r2 = i * i + j * j
+            if r2 < 36:
+                wt[a, b] = math.exp(-r2 * 0.08)
+    return wt
 
 
 @lru_cache(maxsize=None)
@@ -127,49 +135,108 @@ def _compare_indices() -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(i1, np.int32), np.asarray(i2, np.int32)
 
 
+@lru_cache(maxsize=None)
+def _compare_matrices(dtype_key: str = "f32"):
+    """Selection matrices S1, S2 [87, 486] so that bit_t = (acc @ S1)_t >
+    (acc @ S2)_t — keeps the comparison gather on the MXU."""
+    i1, i2 = _compare_indices()
+    s1 = np.zeros((87, DESCRIPTOR_BITS), np.float32)
+    s2 = np.zeros((87, DESCRIPTOR_BITS), np.float32)
+    s1[i1, np.arange(DESCRIPTOR_BITS)] = 1.0
+    s2[i2, np.arange(DESCRIPTOR_BITS)] = 1.0
+    return s1, s2
+
+
+# --------------------------------------------------------------------------
+# window extraction
+# --------------------------------------------------------------------------
+
+class Windows(NamedTuple):
+    L: jax.Array    # [N, WSIZE, WSIZE]
+    lx: jax.Array
+    ly: jax.Array
+    x0: jax.Array   # [N] int32 window origin (octave coords)
+    y0: jax.Array
+
+
+def extract_windows(kps: Keypoints, pp: PaddedPyramid,
+                    plan: PipelinePlan) -> Windows:
+    """One [WSIZE, WSIZE] window per keypoint, centred on the keypoint in
+    its own sublevel plane, clamped to the octave's true extent."""
+    ms = plan.config.max_scale
+    p = jnp.clip(kps.layer, 0, pp.L.shape[0] - 1)
+    o = jnp.maximum(kps.layer // ms, 0)
+    iratio = 1.0 / (1 << o).astype(jnp.float32)
+    xc = (kps.x * iratio + 0.5).astype(jnp.int32)
+    yc = (kps.y * iratio + 0.5).astype(jnp.int32)
+    wo = pp.widths[p]
+    ho = pp.heights[p]
+    x0 = jnp.clip(xc - WSIZE // 2, 0, jnp.maximum(wo - WSIZE, 0))
+    y0 = jnp.clip(yc - WSIZE // 2, 0, jnp.maximum(ho - WSIZE, 0))
+
+    def slice_one(stack, pi, yi, xi):
+        return jax.lax.dynamic_slice(stack, (pi, yi, xi),
+                                     (1, WSIZE, WSIZE))[0]
+
+    grab = jax.vmap(slice_one, in_axes=(None, 0, 0, 0))
+    return Windows(L=grab(pp.L, p, y0, x0), lx=grab(pp.lx, p, y0, x0),
+                   ly=grab(pp.ly, p, y0, x0), x0=x0, y0=y0)
+
+
+def _onehot(idx, size: int, dtype):
+    """[..., size] one-hot rows; out-of-range indices produce all-zero rows
+    (samples of invalid slots read as 0)."""
+    lanes = jnp.arange(size, dtype=jnp.int32)
+    return (idx[..., None] == lanes).astype(dtype)
+
+
 # --------------------------------------------------------------------------
 # orientation
 # --------------------------------------------------------------------------
 
-def compute_orientation(kps: Keypoints, flat: FlatPyramid,
-                        plan: PipelinePlan, fixed: bool = False):
+def compute_orientation(kps: Keypoints, wnd: Windows, plan: PipelinePlan,
+                        fixed: bool = False):
     """Dominant orientation per keypoint (gCalcOrient).
 
-    Float path uses true atan2 for the per-sample angle; the fixed-point
-    kernel uses the fast polynomial (akazed.cu:3685) — both use the
-    polynomial for the final angle.  Returns angle [max_pts] float32 in
-    [0, 2*pi).
+    The 11x11 sampling grid (stride = the keypoint's sigma step) is pulled
+    from the window with two tiny one-hot matmuls; the 42-bin histogram and
+    7-bin circular window scan follow akazed.cu:1692-1734.  Float path uses
+    true atan2 for per-sample angles, the fixed kernel the fast polynomial
+    (akazed.cu:3685); both use the polynomial for the final angle.
     """
     ms = plan.config.max_scale
-    ii, jj, wt = _orient_table()
-    ii = jnp.asarray(ii)
-    jj = jnp.asarray(jj)
-    wt = jnp.asarray(wt)
-
     o = jnp.maximum(kps.layer // ms, 0)
-    s = kps.layer % ms
-    wo = flat.widths[o]
-    base = flat.offsets[o] + s * flat.plane[o]
     step = (kps.size + 0.5).astype(jnp.int32)
-    x = (kps.x + 0.5).astype(jnp.int32) >> o
-    y = (kps.y + 0.5).astype(jnp.int32) >> o
+    x = ((kps.x + 0.5).astype(jnp.int32) >> o) - wnd.x0
+    y = ((kps.y + 0.5).astype(jnp.int32) >> o) - wnd.y0
 
-    # [N, 109] flat positions
-    pos = base[:, None] + (y[:, None] + step[:, None] * jj[None, :]) \
-        * wo[:, None] + (x[:, None] + step[:, None] * ii[None, :])
-    lxv = flat.lx[pos].astype(jnp.float32)
-    lyv = flat.ly[pos].astype(jnp.float32)
-    dx = wt[None, :] * lxv
-    dy = wt[None, :] * lyv
+    offs = jnp.arange(-5, 6, dtype=jnp.int32)          # [11]
+    rows = y[:, None] + step[:, None] * offs[None, :]   # [N, 11]
+    cols = x[:, None] + step[:, None] * offs[None, :]
+    cdtype = wnd.lx.dtype if wnd.lx.dtype != jnp.int32 else jnp.float32
+    row_oh = _onehot(rows, WSIZE, cdtype)               # [N, 11, WSIZE]
+    col_oh = _onehot(cols, WSIZE, cdtype)
+
+    def grid_vals(w):
+        w = w.astype(cdtype)
+        t = jnp.einsum("nrw,nwc->nrc", row_oh, w,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("nrc,nkc->nrk", t, col_oh,
+                          preferred_element_type=jnp.float32)  # [N, 11, 11]
+
+    gx = grid_vals(wnd.lx)   # rows index j (vertical), cols index i
+    gy = grid_vals(wnd.ly)
+    wt = jnp.asarray(_orient_grid())                    # [11, 11]
+    dx = (wt[None] * gx).reshape(-1, 121)
+    dy = (wt[None] * gy).reshape(-1, 121)
     ang = fast_atan2(dy, dx) if fixed else jnp.arctan2(dy, dx)
     a = jnp.clip((ang * (21.0 / math.pi)).astype(jnp.int32) + 21, 0, 41)
+    live = (wt.reshape(-1) > 0)[None, :]
 
-    # 42-bin accumulation as masked reductions (atomicAdd replacement,
-    # akazed.cu:1702-1704)
-    resx = []
-    resy = []
+    # 42-bin accumulation as masked reductions (atomicAdd replacement)
+    resx, resy = [], []
     for b in range(42):
-        m = (a == b)
+        m = (a == b) & live
         resx.append(jnp.sum(jnp.where(m, dx, 0.0), axis=1))
         resy.append(jnp.sum(jnp.where(m, dy, 0.0), axis=1))
     resx = jnp.stack(resx, axis=1)  # [N, 42]
@@ -194,64 +261,84 @@ class Descriptors(NamedTuple):
     words: jax.Array   # [max_pts, 16] uint32 — 486 bits little-endian
 
 
-def compute_descriptors(kps: Keypoints, angle, flat: FlatPyramid,
-                        plan: PipelinePlan, fixed: bool = False) -> Descriptors:
+def compute_descriptors(kps: Keypoints, angle, wnd: Windows,
+                        plan: PipelinePlan, fixed: bool = False,
+                        chunk: int = 1024) -> Descriptors:
     """MLDB descriptor (gDescribe2): rotated-window cell means of
     (L, rotated Lx, rotated Ly) over 2x2/3x3/4x4 grids, then 486 pairwise
-    comparisons packed to bits."""
+    comparisons packed to bits.
+
+    The 441 rotated nearest-neighbour samples per keypoint are selected with
+    separable one-hot matmuls over the window; the work is chunked over
+    keypoints to bound the [chunk, 441, WSIZE] intermediates.
+    """
     cfg = plan.config
     ms = cfg.max_scale
     l_np, k_np, M_np = _descriptor_window(cfg.descriptor_pattern_size)
     lof = jnp.asarray(l_np, jnp.float32)
     kof = jnp.asarray(k_np, jnp.float32)
     M = jnp.asarray(M_np)
-    i1, i2 = _compare_indices()
-    i1 = jnp.asarray(i1)
-    i2 = jnp.asarray(i2)
+    s1_np, s2_np = _compare_matrices()
+    S = jnp.asarray(s1_np - s2_np)  # bit_t = (acc @ S)_t > 0
 
     o = jnp.maximum(kps.layer // ms, 0)
-    s = kps.layer % ms
-    wo = flat.widths[o]
-    base = flat.offsets[o] + s * flat.plane[o]
     iratio = 1.0 / (1 << o).astype(jnp.float32)
     scale = (kps.size + 0.5).astype(jnp.int32).astype(jnp.float32)
-    xf = kps.x * iratio
-    yf = kps.y * iratio
+    xf = kps.x * iratio - wnd.x0.astype(jnp.float32)
+    yf = kps.y * iratio - wnd.y0.astype(jnp.float32)
     co = jnp.cos(angle)
     si = jnp.sin(angle)
 
-    # rotated sample positions (akazed.cu:1919-1921); int cast truncates
-    xp = (xf[:, None] + scale[:, None]
-          * (kof[None, :] * co[:, None] - lof[None, :] * si[:, None])
-          + 0.5).astype(jnp.int32)
-    yp = (yf[:, None] + scale[:, None]
-          * (kof[None, :] * si[:, None] + lof[None, :] * co[:, None])
-          + 0.5).astype(jnp.int32)
-    pos = base[:, None] + yp * wo[:, None] + xp
+    cdtype = wnd.L.dtype if wnd.L.dtype != jnp.int32 else jnp.float32
+    n = kps.x.shape[0]
+    nchunks = max(1, -(-n // chunk))
+    pad_n = nchunks * chunk
 
-    im = flat.L[pos].astype(jnp.float32)
-    dx = flat.lx[pos].astype(jnp.float32)
-    dy = flat.ly[pos].astype(jnp.float32)
-    rx = -dx * si[:, None] + dy * co[:, None]
-    ry = dx * co[:, None] + dy * si[:, None]
-    if fixed:
-        # the fixed kernel truncates the rotated derivatives to int
-        # (akazed.cu:3779-3780)
-        rx = rx.astype(jnp.int32).astype(jnp.float32)
-        ry = ry.astype(jnp.int32).astype(jnp.float32)
+    def pad_c(v):
+        return jnp.pad(v, [(0, pad_n - n)] + [(0, 0)] * (v.ndim - 1)
+                       ).reshape((nchunks, chunk) + v.shape[1:])
 
-    # cell sums on the MXU: [N, S] @ [S, 29] (values are small integers in
-    # the fixed path, so f32 accumulation is exact)
-    acc_im = jnp.dot(im, M, preferred_element_type=jnp.float32)
-    acc_rx = jnp.dot(rx, M, preferred_element_type=jnp.float32)
-    acc_ry = jnp.dot(ry, M, preferred_element_type=jnp.float32)
-    # flatten to the reference accumulator layout [3*cell + channel]
-    acc = jnp.stack([acc_im, acc_rx, acc_ry], axis=2).reshape(
-        acc_im.shape[0], -1)  # [N, 87]
+    args = jax.tree.map(pad_c, (xf, yf, scale, co, si, wnd.L.astype(cdtype),
+                                wnd.lx.astype(cdtype), wnd.ly.astype(cdtype)))
 
-    bits = acc[:, i1] > acc[:, i2]  # [N, 486]
-    pad = jnp.zeros((bits.shape[0], DESCRIPTOR_WORDS * 32 - DESCRIPTOR_BITS),
-                    bool)
+    def do_chunk(a):
+        cxf, cyf, csc, cco, csi, wL, wlx, wly = a
+        # rotated sample positions (akazed.cu:1919-1921); int cast truncates
+        xp = (cxf[:, None] + csc[:, None]
+              * (kof[None, :] * cco[:, None] - lof[None, :] * csi[:, None])
+              + 0.5).astype(jnp.int32)
+        yp = (cyf[:, None] + csc[:, None]
+              * (kof[None, :] * csi[:, None] + lof[None, :] * cco[:, None])
+              + 0.5).astype(jnp.int32)
+        row_oh = _onehot(yp, WSIZE, cdtype)             # [c, 441, WSIZE]
+        col_oh = _onehot(xp, WSIZE, cdtype)
+
+        def sample(w):
+            t = jnp.einsum("nsy,nyx->nsx", row_oh, w,
+                           preferred_element_type=cdtype)
+            return jnp.einsum("nsx,nsx->ns", t, col_oh,
+                              preferred_element_type=jnp.float32)
+
+        im = sample(wL)
+        dx = sample(wlx)
+        dy = sample(wly)
+        rx = -dx * csi[:, None] + dy * cco[:, None]
+        ry = dx * cco[:, None] + dy * csi[:, None]
+        if fixed:
+            # the fixed kernel truncates the rotated derivatives to int
+            # (akazed.cu:3779-3780)
+            rx = rx.astype(jnp.int32).astype(jnp.float32)
+            ry = ry.astype(jnp.int32).astype(jnp.float32)
+
+        # cell sums on the MXU ([c, 441] @ [441, 29])
+        accs = [jnp.dot(v, M, preferred_element_type=jnp.float32)
+                for v in (im, rx, ry)]
+        acc = jnp.stack(accs, axis=2).reshape(chunk, -1)  # [c, 87]
+        diff = jnp.dot(acc, S, preferred_element_type=jnp.float32)
+        return diff > 0                                   # [c, 486]
+
+    bits = jax.lax.map(do_chunk, args).reshape(pad_n, DESCRIPTOR_BITS)[:n]
+    pad = jnp.zeros((n, DESCRIPTOR_WORDS * 32 - DESCRIPTOR_BITS), bool)
     bits512 = jnp.concatenate([bits, pad], axis=1)
     b32 = bits512.reshape(-1, DESCRIPTOR_WORDS, 32).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]

@@ -212,6 +212,44 @@ def flatten_pyramid(octaves: List[OctaveData]) -> FlatPyramid:
         plane=jnp.asarray(planes, jnp.int32))
 
 
+class PaddedPyramid(NamedTuple):
+    """All sublevel planes zero-padded to a common [P, Hp, Wp] stack.
+
+    Plane index == the keypoint's layer code (octave * max_scale + scale),
+    so per-keypoint window extraction is one vmapped ``dynamic_slice`` —
+    the TPU-friendly replacement for the reference's per-thread random reads
+    of ``tmem`` (gDescribe2, akazed.cu:1910-1926).
+    """
+    L: jax.Array       # [P, Hp, Wp]
+    lx: jax.Array
+    ly: jax.Array
+    widths: jax.Array   # [P] int32: true octave width of each plane
+    heights: jax.Array  # [P] int32
+
+
+def build_padded_pyramid(octaves: List[OctaveData], wsize: int,
+                         dtype=None) -> PaddedPyramid:
+    h0, w0 = octaves[0].det.shape[1:]
+    hp, wp = max(h0, wsize), max(w0, wsize)
+    Ls, lxs, lys, ws, hs = [], [], [], [], []
+    for o in octaves:
+        s, h, w = o.det.shape
+        pad = ((0, 0), (0, hp - h), (0, wp - w))
+        Ls.append(jnp.pad(o.L, pad))
+        lxs.append(jnp.pad(o.lx, pad))
+        lys.append(jnp.pad(o.ly, pad))
+        ws += [w] * s
+        hs += [h] * s
+    L = jnp.concatenate(Ls)
+    lx = jnp.concatenate(lxs)
+    ly = jnp.concatenate(lys)
+    if dtype is not None:
+        L, lx, ly = L.astype(dtype), lx.astype(dtype), ly.astype(dtype)
+    return PaddedPyramid(L=L, lx=lx, ly=ly,
+                         widths=jnp.asarray(ws, jnp.int32),
+                         heights=jnp.asarray(hs, jnp.int32))
+
+
 def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
                      fixed: bool = False) -> Keypoints:
     """Sub-pixel refinement (gRefine, akazed.cu:1615-1662): 3x3 quadratic

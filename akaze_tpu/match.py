@@ -70,10 +70,12 @@ def match(words1, valid1, words2, valid2, x2, y2,
     """
     d = hamming_distance_matrix(words1, words2)
     d = d + jnp.where(valid2[None, :], 0.0, 1.0e6)
-    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
-    best = -neg_top2[:, 0]
-    second = -neg_top2[:, 1]
-    bidx = idx_top2[:, 0].astype(jnp.int32)
+    # min + masked second-min as plain reductions (lax.top_k over the full
+    # [N1, N2] matrix is a per-row sort and dominates the runtime)
+    best = jnp.min(d, axis=1)
+    bidx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    second = jnp.min(jnp.where(cols == bidx[:, None], 1.0e9, d), axis=1)
     accept = (best < second) & (best < max_dist) & valid1
     return Matches(
         index=jnp.where(accept, bidx, -1),

@@ -3,9 +3,10 @@
 Replaces the reference's three-kernel + host-scan sequence
 (hScharrContrast, akazed.cu:2410-2484: gScharrContrastNaive ->
 gFindMaxContrastU4 atomicMax -> gConstrastHistShared atomics -> host
-percentile loop) with a deterministic histogram + searchsorted, entirely
-on-device.  No atomics needed: the 300-bin histogram is a one-hot sum and
-the percentile scan is a cumulative sum.
+percentile loop) with a deterministic on-device computation.  No atomics and
+no scatter: the cumulative histogram c(m) = #(bin <= m) is a fused
+comparison-reduction (a [Npix, 300] broadcast compare that XLA streams
+without materialising), and the percentile scan is a searchsorted.
 """
 
 from __future__ import annotations
@@ -15,17 +16,26 @@ import jax.numpy as jnp
 NBINS = 300  # akazed.cu:8
 
 
-def _percentile_bin(hist, npix: int, per: float):
-    """Host percentile loop (akazed.cu:2468-2481) as cumsum + searchsorted.
+def _percentile_from_cum(cum, npix: int, per: float):
+    """Host percentile loop (akazed.cu:2468-2481) on the cumulative
+    histogram.
 
-    Returns k in [1, NBINS]: the smallest k with
+    cum[m] = #(bin <= m).  Returns k in [1, NBINS]: the smallest k with
     sum(hist[1..k-1]) >= trunc((npix - hist[0]) * per).
     """
-    thresh = ((npix - hist[0]).astype(jnp.float32) * per).astype(jnp.int32)
-    cprime = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(hist[1:]).astype(jnp.int32)])
+    hist0 = cum[0]
+    thresh = ((npix - hist0).astype(jnp.float32) * per).astype(jnp.int32)
+    cprime = cum - hist0  # cprime[m] = sum(hist[1..m]), cprime[0] = 0
     m = jnp.searchsorted(cprime, thresh, side="left")
     return jnp.minimum(m + 1, NBINS).astype(jnp.int32)
+
+
+def _cumulative_bins(bins):
+    """c(m) = #(bins <= m) for m in [0, NBINS) as a fused broadcast-compare
+    reduction."""
+    m = jnp.arange(NBINS, dtype=jnp.int32)
+    return jnp.sum(bins[:, :, None] <= m[None, None, :], axis=(0, 1),
+                   dtype=jnp.int32)
 
 
 def percentile_contrast(grad, per: float):
@@ -40,8 +50,8 @@ def percentile_contrast(grad, per: float):
     max_contrast = jnp.maximum(jnp.float32(0.03), jnp.max(grad))
     hfactor = NBINS / max_contrast
     bins = jnp.clip((grad * hfactor).astype(jnp.int32), 0, NBINS - 1)
-    hist = jnp.zeros((NBINS,), jnp.int32).at[bins.ravel()].add(1)
-    k = _percentile_bin(hist, h * w, per)
+    cum = _cumulative_bins(bins)
+    k = _percentile_from_cum(cum, h * w, per)
     return k.astype(jnp.float32) / hfactor
 
 
@@ -58,6 +68,6 @@ def percentile_contrast_fixed(grad, per: float):
     hfactor = (NBINS / max_contrast.astype(jnp.float32) * 65536
                + 0.5).astype(jnp.int32)
     bins = jnp.clip((grad * hfactor) >> 16, 0, NBINS - 1)
-    hist = jnp.zeros((NBINS,), jnp.int32).at[bins.ravel()].add(1)
-    k = _percentile_bin(hist, h * w, per)
+    cum = _cumulative_bins(bins)
+    k = _percentile_from_cum(cum, h * w, per)
     return k * max_contrast // NBINS

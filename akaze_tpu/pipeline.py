@@ -18,8 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import AkazeConfig
-from .descriptor import compute_descriptors, compute_orientation
-from .detect import Keypoints, detect_keypoints, flatten_pyramid
+from .descriptor import (WSIZE, compute_descriptors, compute_orientation,
+                         extract_windows)
+from .detect import (Keypoints, build_padded_pyramid, detect_keypoints,
+                     flatten_pyramid)
 from .match import Matches, match
 from .plan import PipelinePlan, build_plan
 from .scale_space import build_scale_space
@@ -43,10 +45,11 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
     """Pure function: image -> Features.  Jit with ``plan``/``fixed`` static."""
     octaves, _ = build_scale_space(image, plan, fixed)
     kps = detect_keypoints(octaves, plan, fixed)
-    flat = flatten_pyramid(octaves)
     if describe:
-        angle = compute_orientation(kps, flat, plan, fixed)
-        desc = compute_descriptors(kps, angle, flat, plan, fixed)
+        pp = build_padded_pyramid(octaves, WSIZE)
+        wnd = extract_windows(kps, pp, plan)
+        angle = compute_orientation(kps, wnd, plan, fixed)
+        desc = compute_descriptors(kps, angle, wnd, plan, fixed)
         words = desc.words
     else:
         angle = jnp.zeros_like(kps.x)
