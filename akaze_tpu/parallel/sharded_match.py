@@ -1,0 +1,40 @@
+"""Descriptor matching sharded across a device mesh.
+
+Replaces the reference's single-GPU brute-force matcher (gHammingMatch,
+akazed.cu:2144-2241) at scale: query descriptors are sharded over the
+``data`` axis, train descriptors are all-gathered over ICI, and each shard
+computes its block of the Hamming distance matrix on its own MXU.  For N
+devices this gives an N-fold speedup of the O(N1*N2) matching while moving
+only the (much smaller) descriptor tensors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..match import Matches, match
+
+
+def sharded_match(words1, valid1, words2, valid2, x2, y2, mesh: Mesh,
+                  max_dist: int = 96, axis: str = "data") -> Matches:
+    """1-NN Hamming matching with queries sharded over ``axis``.
+
+    words2/valid2/x2/y2 may be sharded too — they are all-gathered inside,
+    riding the ICI ring.
+    """
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+             out_specs=P(axis))
+    def go(w1, v1, w2, v2, xx2, yy2):
+        w2g = jax.lax.all_gather(w2, axis, axis=0, tiled=True)
+        v2g = jax.lax.all_gather(v2, axis, axis=0, tiled=True)
+        x2g = jax.lax.all_gather(xx2, axis, axis=0, tiled=True)
+        y2g = jax.lax.all_gather(yy2, axis, axis=0, tiled=True)
+        return match(w1, v1, w2g, v2g, x2g, y2g, max_dist)
+
+    return go(words1, valid1, words2, valid2, x2, y2)
