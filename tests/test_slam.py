@@ -1,0 +1,198 @@
+"""Tests for the SLAM back-end: pose-graph optimization and bundle
+adjustment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from akaze_tpu.geometry import se3_exp, se3_log, se3_compose, se3_inverse
+from akaze_tpu.slam import (PoseGraph, optimize_pose_graph, BAProblem,
+                            bundle_adjust)
+from akaze_tpu.slam.posegraph import pose_graph_cost
+from akaze_tpu.slam.ba import ba_cost
+
+
+def make_trajectory(rng, n):
+    """Smooth SE(3) trajectory as (R [n,3,3], t [n,3]) numpy arrays."""
+    xis = rng.standard_normal((n - 1, 6)).astype(np.float32)
+    xis[:, :3] *= 0.5
+    xis[:, 3:] *= 0.1
+    R = [np.eye(3, dtype=np.float32)]
+    t = [np.zeros(3, np.float32)]
+    for xi in xis:
+        dR, dt = se3_exp(jnp.asarray(xi))
+        Rn, tn = se3_compose(jnp.asarray(R[-1]), jnp.asarray(t[-1]), dR, dt)
+        R.append(np.asarray(Rn))
+        t.append(np.asarray(tn))
+    return np.stack(R), np.stack(t)
+
+
+def relative(Ra, ta, Rb, tb):
+    Ri, ti = se3_inverse(jnp.asarray(Ra), jnp.asarray(ta))
+    return se3_compose(Ri, ti, jnp.asarray(Rb), jnp.asarray(tb))
+
+
+class TestPoseGraph:
+    def test_chain_with_loop_closure(self, rng):
+        n = 12
+        R_true, t_true = make_trajectory(rng, n)
+        # odometry edges + one loop closure 0 -> n-1
+        edges_i = list(range(n - 1)) + [0]
+        edges_j = list(range(1, n)) + [n - 1]
+        R_ij, t_ij = [], []
+        for i, j in zip(edges_i, edges_j):
+            Rr, tr = relative(R_true[i], t_true[i], R_true[j], t_true[j])
+            R_ij.append(np.asarray(Rr))
+            t_ij.append(np.asarray(tr))
+        graph = PoseGraph(
+            i=jnp.asarray(edges_i, jnp.int32),
+            j=jnp.asarray(edges_j, jnp.int32),
+            R_ij=jnp.asarray(np.stack(R_ij)),
+            t_ij=jnp.asarray(np.stack(t_ij)),
+            weight=jnp.ones(len(edges_i), jnp.float32))
+
+        # corrupt the initialization with drift
+        noise = rng.standard_normal((n, 6)).astype(np.float32) * 0.05
+        noise[0] = 0
+        dR, dt = se3_exp(jnp.asarray(noise))
+        R0, t0 = se3_compose(jnp.asarray(R_true), jnp.asarray(t_true), dR, dt)
+
+        c_init = float(pose_graph_cost(R0, t0, graph))
+        R_opt, t_opt, c_final = optimize_pose_graph(R0, t0, graph, iters=15)
+        assert float(c_final) < 1e-8
+        assert float(c_final) < c_init * 1e-4
+
+        # gauge: pose 0 unchanged
+        np.testing.assert_allclose(np.asarray(R_opt[0]), np.asarray(R0[0]),
+                                   atol=1e-6)
+        # recovered trajectory matches ground truth (both anchored at 0)
+        for k in (3, n - 1):
+            Rr, tr = relative(R_opt[0], t_opt[0], R_opt[k], t_opt[k])
+            Rg, tg = relative(R_true[0], t_true[0], R_true[k], t_true[k])
+            np.testing.assert_allclose(np.asarray(Rr), np.asarray(Rg),
+                                       atol=1e-3)
+            np.testing.assert_allclose(np.asarray(tr), np.asarray(tg),
+                                       atol=1e-3)
+
+    def test_zero_weight_edges_ignored(self, rng):
+        n = 4
+        R_true, t_true = make_trajectory(rng, n)
+        edges_i = [0, 1, 2, 0]
+        edges_j = [1, 2, 3, 3]
+        R_ij, t_ij = [], []
+        for i, j in zip(edges_i, edges_j):
+            Rr, tr = relative(R_true[i], t_true[i], R_true[j], t_true[j])
+            R_ij.append(np.asarray(Rr))
+            t_ij.append(np.asarray(tr))
+        # poison the loop-closure measurement but zero its weight
+        t_ij[3] = t_ij[3] + 100.0
+        graph = PoseGraph(
+            i=jnp.asarray(edges_i, jnp.int32),
+            j=jnp.asarray(edges_j, jnp.int32),
+            R_ij=jnp.asarray(np.stack(R_ij)),
+            t_ij=jnp.asarray(np.stack(t_ij)),
+            weight=jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32))
+        R_opt, t_opt, c = optimize_pose_graph(
+            jnp.asarray(R_true), jnp.asarray(t_true), graph, iters=5)
+        assert float(c) < 1e-10  # already optimal; poisoned edge ignored
+
+
+def make_ba_problem(rng, n_cams=6, n_pts=80, noise=0.0):
+    """Synthetic BA problem: cameras on an arc looking at a point cloud."""
+    X = rng.uniform([-2, -2, 6], [2, 2, 12], (n_pts, 3)).astype(np.float32)
+    Rs, ts = [], []
+    for c in range(n_cams):
+        xi = np.zeros(6, np.float32)
+        xi[0] = 0.4 * c  # translate along x
+        xi[4] = 0.03 * c  # slight yaw
+        R, t = se3_exp(jnp.asarray(xi))
+        # world->camera: invert
+        Ri, ti = se3_inverse(R, t)
+        Rs.append(np.asarray(Ri))
+        ts.append(np.asarray(ti))
+    R = np.stack(Rs)
+    t = np.stack(ts)
+
+    cams, pts, uvs = [], [], []
+    for c in range(n_cams):
+        Xc = X @ R[c].T + t[c]
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        for p in range(n_pts):
+            if Xc[p, 2] > 0.5 and abs(uv[p, 0]) < 1 and abs(uv[p, 1]) < 1:
+                cams.append(c)
+                pts.append(p)
+                uvs.append(uv[p])
+    uvs = np.asarray(uvs, np.float32)
+    if noise:
+        uvs = uvs + rng.standard_normal(uvs.shape).astype(np.float32) * noise
+    prob = BAProblem(cam=jnp.asarray(cams, jnp.int32),
+                     pt=jnp.asarray(pts, jnp.int32),
+                     uv=jnp.asarray(uvs),
+                     w=jnp.ones(len(cams), jnp.float32))
+    return jnp.asarray(R), jnp.asarray(t), jnp.asarray(X), prob
+
+
+class TestBundleAdjust:
+    def test_ba_reduces_cost_to_zero_noiseless(self, rng):
+        R, t, X, prob = make_ba_problem(rng)
+        n_cams, n_pts = R.shape[0], X.shape[0]
+        # perturb everything except camera 0 (gauge)
+        key = jax.random.PRNGKey(0)
+        dxi = jax.random.normal(key, (n_cams, 6)) * 0.02
+        dxi = dxi.at[0].set(0.0)
+        dR, dt = se3_exp(dxi)
+        R0, t0 = jax.vmap(se3_compose)(R, t, dR, dt)
+        X0 = X + jax.random.normal(jax.random.PRNGKey(1), X.shape) * 0.05
+
+        c_init = float(ba_cost(R0, t0, X0, prob))
+        R1, t1, X1, c_final = bundle_adjust(R0, t0, X0, prob,
+                                            n_cams=n_cams, n_pts=n_pts,
+                                            iters=12, cg_iters=40)
+        assert float(c_final) < c_init * 1e-6
+        assert float(c_final) < 1e-9
+
+    def test_ba_fixed_camera_gauge(self, rng):
+        R, t, X, prob = make_ba_problem(rng, n_cams=4, n_pts=40)
+        n_cams, n_pts = R.shape[0], X.shape[0]
+        R1, t1, X1, c = bundle_adjust(R, t, X, prob, n_cams=n_cams,
+                                      n_pts=n_pts, iters=3)
+        np.testing.assert_allclose(np.asarray(R1[0]), np.asarray(R[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t1[0]), np.asarray(t[0]),
+                                   atol=1e-6)
+
+    def test_ba_noisy_converges(self, rng):
+        R, t, X, prob = make_ba_problem(rng, noise=1e-3)
+        n_cams, n_pts = R.shape[0], X.shape[0]
+        key = jax.random.PRNGKey(2)
+        X0 = X + jax.random.normal(key, X.shape) * 0.03
+        c_init = float(ba_cost(R, t, X0, prob))
+        R1, t1, X1, c_final = bundle_adjust(R, t, X0, prob, n_cams=n_cams,
+                                            n_pts=n_pts, iters=10)
+        # converges to approximately the noise floor
+        m = prob.uv.shape[0]
+        noise_floor = 0.5 * m * 2 * (1e-3 ** 2)
+        assert float(c_final) < max(3 * noise_floor, c_init * 1e-3)
+
+
+class TestShardedBA:
+    def test_sharded_matches_single_device(self, rng):
+        """The 8-device sharded LM trajectory equals the single-device one."""
+        from akaze_tpu.parallel import (make_mesh, sharded_bundle_adjust,
+                                        pad_observations)
+        R, t, X, prob = make_ba_problem(rng, n_cams=5, n_pts=50)
+        n_cams, n_pts = R.shape[0], X.shape[0]
+        key = jax.random.PRNGKey(7)
+        X0 = X + jax.random.normal(key, X.shape) * 0.04
+
+        mesh = make_mesh(8)
+        prob_p = pad_observations(prob, 8)
+        R1, t1, X1, c1 = bundle_adjust(R, t, X0, prob_p, n_cams=n_cams,
+                                       n_pts=n_pts, iters=6, cg_iters=25)
+        R2, t2, X2, c2 = sharded_bundle_adjust(R, t, X0, prob_p, mesh,
+                                               iters=6, cg_iters=25)
+        assert float(c2) < float(ba_cost(R, t, X0, prob)) * 1e-3
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   rtol=1e-3, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(X1), np.asarray(X2),
+                                   rtol=1e-2, atol=1e-3)
