@@ -53,6 +53,17 @@ class AkazeConfig:
     # strictly unique 1-NN.  'ratio' replicates gMatch (akazed.cu:2106):
     # accept when 1st-best < 2nd-best.
     match_rule: str = "unique"
+    # sample per-keypoint windows in bfloat16 on the float path (the one-hot
+    # gathers stay exact; only the sampled intensities round — match quality
+    # is unchanged at the acceptance bar of SURVEY.md §7(d) while HBM
+    # traffic halves)
+    bf16_sampling: bool = True
+    # fused Pallas orientation+descriptor kernel (float path):
+    #   'auto'      use it on the TPU backend, XLA path elsewhere
+    #   'on'        always (compiled)
+    #   'interpret' always, in the Pallas interpreter (for CPU tests)
+    #   'off'       never
+    pallas_descriptor: str = "auto"
 
     # smax scale multiplier for the extrema border; 10*sqrt(2) for the MLDB
     # descriptor family (FEATURE_TYPE 5; reference: akaze.cpp:277-285).

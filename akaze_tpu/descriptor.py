@@ -233,14 +233,15 @@ def compute_orientation(kps: Keypoints, wnd: Windows, plan: PipelinePlan,
     a = jnp.clip((ang * (21.0 / math.pi)).astype(jnp.int32) + 21, 0, 41)
     live = (wt.reshape(-1) > 0)[None, :]
 
-    # 42-bin accumulation as masked reductions (atomicAdd replacement)
-    resx, resy = [], []
-    for b in range(42):
-        m = (a == b) & live
-        resx.append(jnp.sum(jnp.where(m, dx, 0.0), axis=1))
-        resy.append(jnp.sum(jnp.where(m, dy, 0.0), axis=1))
-    resx = jnp.stack(resx, axis=1)  # [N, 42]
-    resy = jnp.stack(resy, axis=1)
+    # 42-bin accumulation (atomicAdd replacement) as one one-hot matmul:
+    # [N, 121] @ [N, 121, 42] per-batch contraction on the MXU (an unrolled
+    # 42-way masked reduction compiles to a huge HLO and runs 40x the work)
+    bin_oh = jnp.where(live[..., None], (a[..., None] == jnp.arange(42))
+                       .astype(jnp.float32), 0.0)        # [N, 121, 42]
+    resx = jnp.einsum("ns,nsb->nb", dx, bin_oh,
+                      preferred_element_type=jnp.float32)
+    resy = jnp.einsum("ns,nsb->nb", dy, bin_oh,
+                      preferred_element_type=jnp.float32)
 
     # sliding 7-bin circular window (akazed.cu:1708-1717)
     re8x = sum(jnp.roll(resx, -d, axis=1) for d in range(7))
@@ -338,12 +339,85 @@ def compute_descriptors(kps: Keypoints, angle, wnd: Windows,
         return diff > 0                                   # [c, 486]
 
     bits = jax.lax.map(do_chunk, args).reshape(pad_n, DESCRIPTOR_BITS)[:n]
+    return Descriptors(words=pack_bits(bits))
+
+
+def pack_bits(bits):
+    """[N, 486] bool -> [N, 16] uint32 little-endian words."""
+    n = bits.shape[0]
     pad = jnp.zeros((n, DESCRIPTOR_WORDS * 32 - DESCRIPTOR_BITS), bool)
     bits512 = jnp.concatenate([bits, pad], axis=1)
     b32 = bits512.reshape(-1, DESCRIPTOR_WORDS, 32).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    words = jnp.sum(b32 << shifts, axis=2, dtype=jnp.uint32)
-    return Descriptors(words=words)
+    return jnp.sum(b32 << shifts, axis=2, dtype=jnp.uint32)
+
+
+# --------------------------------------------------------------------------
+# fused Pallas path (float pipeline, TPU)
+# --------------------------------------------------------------------------
+
+def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
+                           plan: PipelinePlan, interpret: bool = False):
+    """Orientation + MLDB descriptor via the fused Pallas kernel
+    (ops/pallas_describe.py); numerically equivalent to
+    compute_orientation + compute_descriptors on the float path up to
+    bf16 window sampling.
+
+    Returns (angle [N], Descriptors).
+    """
+    from .ops.pallas_describe import orient_describe, WSIZE as KW
+
+    cfg = plan.config
+    ms = cfg.max_scale
+    n = kps.x.shape[0]
+    p = jnp.clip(kps.layer, 0, pp.L.shape[0] - 1)
+    o = jnp.maximum(kps.layer // ms, 0)
+    iratio = 1.0 / (1 << o).astype(jnp.float32)
+    # window origin: identical clamping to extract_windows
+    xc = (kps.x * iratio + 0.5).astype(jnp.int32)
+    yc = (kps.y * iratio + 0.5).astype(jnp.int32)
+    wo = pp.widths[p]
+    ho = pp.heights[p]
+    x0 = jnp.clip(xc - KW // 2, 0, jnp.maximum(wo - KW, 0))
+    y0 = jnp.clip(yc - KW // 2, 0, jnp.maximum(ho - KW, 0))
+    # orientation center: the reference's int(x+0.5) >> o (window-local)
+    ox = (((kps.x + 0.5).astype(jnp.int32) >> o) - x0).astype(jnp.int32)
+    oy = (((kps.y + 0.5).astype(jnp.int32) >> o) - y0).astype(jnp.int32)
+    iscale = (kps.size + 0.5).astype(jnp.int32)
+    xf = kps.x * iratio - x0.astype(jnp.float32)
+    yf = kps.y * iratio - y0.astype(jnp.float32)
+
+    zero_i = jnp.zeros_like(p)
+    vflag = kps.valid.astype(jnp.int32)
+    iparams = jnp.stack([p, y0, x0, oy, ox, iscale, vflag, zero_i], axis=1)
+    fparams = jnp.stack([yf, xf, iscale.astype(jnp.float32),
+                         jnp.zeros_like(xf)], axis=1)
+    pyramid = jnp.stack([pp.L, pp.lx, pp.ly]).astype(jnp.bfloat16)
+    # the kernel DMAs tile-aligned [WY, WX] windows whose rounded-down
+    # origins can overhang by up to (8, 128); pad the planes so every DMA
+    # stays in bounds (and meets the minimum window extent)
+    from .ops.pallas_describe import WY, WX
+    hp, wp = pyramid.shape[2], pyramid.shape[3]
+    hp2 = max(hp + 8, WY)
+    wp2 = max(wp + 128, WX)
+    pyramid = jnp.pad(pyramid, ((0, 0), (0, 0), (0, hp2 - hp),
+                                (0, wp2 - wp)))
+
+    kb = 8
+    rem = (-n) % kb
+    if rem:
+        iparams = jnp.pad(iparams, ((0, rem), (0, 0)))
+        fparams = jnp.pad(fparams, ((0, rem), (0, 0)))
+    angle, acc = orient_describe(iparams, fparams, pyramid,
+                                 patsize=cfg.descriptor_pattern_size, kb=kb,
+                                 interpret=interpret)
+    angle = angle[:n]
+    acc = acc[:n]
+
+    s1_np, s2_np = _compare_matrices()
+    S = jnp.asarray(s1_np - s2_np)           # [87, 486]
+    diff = jnp.dot(acc, S, preferred_element_type=jnp.float32)
+    return angle, Descriptors(words=pack_bits(diff > 0))
 
 
 def descriptors_to_bytes(words: np.ndarray) -> np.ndarray:

@@ -1,0 +1,389 @@
+"""Fused Pallas TPU kernel: per-keypoint orientation + MLDB cell sums.
+
+Replaces the XLA path of descriptor.py (extract_windows +
+compute_orientation + the sampling half of compute_descriptors) for the
+float pipeline.  The XLA formulation materialises [N, 441, 128] one-hot
+tensors in HBM (~2.3 GB of pure selection traffic at N = 10k) and extracts
+2 GB of per-keypoint windows with vmapped dynamic slices; this kernel keeps
+everything on-chip:
+
+  grid = (N/KB,) keypoint blocks; per step it
+    1. DMAs the KB keypoints' [W, W] windows (L, Lx, Ly, bf16) HBM -> VMEM,
+       double-buffered against compute (the next block's windows stream in
+       while the current block computes);
+    2. samples the 11x11 orientation disc with a one-hot matmul, forms the
+       42-bin histogram on the MXU, scans the 7-bin circular window with a
+       constant [48, 48] band matrix, and takes the first maximum
+       (gCalcOrient semantics, akazed.cu:1665-1736);
+    3. samples the 441 rotated descriptor taps with one [448, W] one-hot
+       matmul per plane and reduces straight to the 29 MLDB cell sums with
+       a constant membership matrix (gDescribe2, akazed.cu:1869-2001) —
+       individual samples never leave VMEM;
+    4. rotates the derivative cell sums by the found angle (rotation is
+       linear, so it commutes with the cell sums on the float path).
+
+Outputs: angle [N] and cell accumulators [N, 96] (= [29 cells x 3 channels]
+at lanes cell*3+chan, matching descriptor._compare_matrices).  The 486
+pairwise comparisons + bit packing stay in XLA (one tiny matmul).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import descriptor as _d
+
+WSIZE = _d.WSIZE          # 128: logical window (covers max sampling radius)
+# The DMA'd window is larger: HBM slices of a (8, 128)-tiled bf16 memref
+# must start at tile-aligned offsets, so the origin is rounded down to the
+# tile grid and the window extended to keep the full logical 128x128 region
+# in view (y slack < 8, x slack < 128).
+WY = 136                  # WSIZE + 8 rows
+WX = 256                  # WSIZE + 128 cols
+NPAD = 448                # 441 descriptor taps padded to a lane multiple
+OPAD = 128                # 121 orientation taps padded
+BINS = 48                 # 42 histogram bins padded
+H_PI = math.pi / 2.0
+
+
+@lru_cache(maxsize=None)
+def _orient_weight_col():
+    """[OPAD, 1] disc weights (0 outside r^2 < 36), tap = a*11 + b."""
+    wt = _d._orient_grid()                       # [11, 11]
+    w = np.zeros((OPAD, 1), np.float32)
+    w[:121, 0] = wt.reshape(-1)
+    return w
+
+
+@lru_cache(maxsize=None)
+def _band_matrix():
+    """[BINS, BINS]: re8[b] = sum_{d=0..6} res[(b + d) % 42] for b < 42."""
+    S = np.zeros((BINS, BINS), np.float32)
+    for b in range(42):
+        for d in range(7):
+            S[(b + d) % 42, b] = 1.0
+    return S
+
+
+@lru_cache(maxsize=None)
+def _descriptor_tables(patsize: int):
+    """(l [NPAD,1], k [NPAD,1], M32 [NPAD, 32] cell membership,
+    live [NPAD,1])."""
+    l, k, M = _d._descriptor_window(patsize)     # M: [n, 29]
+    n = len(l)
+    lp = np.zeros((NPAD, 1), np.float32)
+    kp = np.zeros((NPAD, 1), np.float32)
+    lp[:n, 0] = l
+    kp[:n, 0] = k
+    M32 = np.zeros((NPAD, 32), np.float32)
+    M32[:n, :29] = M
+    live = np.zeros((NPAD, 1), np.float32)
+    live[:n, 0] = 1.0
+    return lp, kp, M32, live
+
+
+@lru_cache(maxsize=None)
+def _group_to_interleaved():
+    """[96] lane permutation: grouped (im | rx | ry in 32-lane groups) ->
+    the cell*3+chan layout of descriptor._compare_matrices."""
+    idx = np.zeros(96, np.int32)
+    for t in range(87):
+        cell, chan = t // 3, t % 3
+        idx[t] = chan * 32 + cell
+    return idx
+
+
+# atan(z)/z on z in [0, 1] as a degree-9 polynomial in z^2 (least-squares
+# Chebyshev fit; max abs error 7.6e-9 — far below the 42-bin quantisation of
+# the orientation histogram).  Pallas TPU has no atan2 lowering, so the true
+# arctan2 of the XLA float path is replaced by this + quadrant logic.
+_ATAN_COEFS = (9.9999999814e-01, -3.3333292795e-01, 1.9998532540e-01,
+               -1.4264892055e-01, 1.0958362103e-01, -8.4276296054e-02,
+               5.8457820666e-02, -3.1750529703e-02, 1.1257624297e-02,
+               -1.8775595035e-03)
+
+
+def _atan2_poly(y, x):
+    """Accurate atan2 from the polynomial above, elementwise."""
+    absx = jnp.abs(x)
+    absy = jnp.abs(y)
+    mx = jnp.maximum(absx, absy)
+    mn = jnp.minimum(absx, absy)
+    z = mn / jnp.where(mx == 0, 1.0, mx)
+    t = z * z
+    acc = jnp.full_like(z, _ATAN_COEFS[-1])
+    for c in _ATAN_COEFS[-2::-1]:
+        acc = acc * t + c
+    r = acc * z
+    r = jnp.where(absy > absx, H_PI - r, r)
+    r = jnp.where(x < 0, math.pi - r, r)
+    r = jnp.where(y < 0, -r, r)
+    return r
+
+
+def _fast_atan2(y, x):
+    """dFastAtan2 polynomial (akazed.cu:173-185), elementwise."""
+    absx = jnp.abs(x)
+    absy = jnp.abs(y)
+    mx = jnp.maximum(absx, absy)
+    mn = jnp.minimum(absx, absy)
+    a = mn / jnp.where(mx == 0, 1.0, mx)
+    s = a * a
+    r = ((-0.0464964749 * s + 0.15931422) * s - 0.327622764) * s * a + a
+    r = jnp.where(absy > absx, H_PI - r, r)
+    r = jnp.where(x < 0, math.pi - r, r)
+    r = jnp.where(y < 0, -r, r)
+    return r
+
+
+def _make_kernel(kb: int, patsize: int, n_steps: int):
+    def one_hot_rows(idx_col, width, dtype):
+        """[n, 1] int32 -> [n, width] one-hot (all-zero for idx < 0)."""
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0],
+                                                     width), 1)
+        return (idx_col == lanes).astype(dtype)
+
+    def sample(row_col, col_col, window):
+        """samples[s] = window[row[s], col[s]]: one-hot matmul + select.
+
+        row_col/col_col: [n, 1] int32; window [WY, WX] bf16 -> [n, 1] f32."""
+        row_oh = one_hot_rows(row_col, WY, jnp.bfloat16)
+        T = jax.lax.dot_general(
+            row_oh, window, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [n, WX]
+        col_oh = one_hot_rows(col_col, WX, jnp.float32)
+        return jnp.sum(T * col_oh, axis=1, keepdims=True)    # [n, 1]
+
+    def colvec_matmul(v_col, M):
+        """[n, 1] x [n, m] -> [1, m] (contract over rows)."""
+        return jax.lax.dot_general(
+            v_col, M, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def kernel(iparams_ref,           # prefetch [N*8] int32 (SMEM pads 2D
+               #   rows to 128 lanes, so flat 1D it is):
+               #   (plane, y0, x0, oy, ox, iscale, 0, 0); oy/ox = the
+               #   reference's int(x+0.5)>>o orientation center, window-local
+               fparams_ref,           # prefetch [N, 4] f32: yc, xc, scale, -
+               pyr_ref,               # [3, P, Hp, Wp] bf16 (HBM)
+               wtv_ref,               # [OPAD, 1] f32 disc weights
+               band_ref,              # [BINS, BINS] f32 7-bin window summer
+               lof_ref,               # [NPAD, 1] f32 descriptor l offsets
+               kof_ref,               # [NPAD, 1] f32 descriptor k offsets
+               dlive_ref,             # [NPAD, 1] f32 tap liveness
+               m32_ref,               # [NPAD, 32] f32 cell membership
+               angle_ref,             # out [kb, 128] f32
+               acc_ref,               # out [kb, 128] f32
+               wnd,                   # scratch [2, kb, 3, W, W] bf16
+               sems):                 # DMA sems [2, kb]
+        step = pl.program_id(0)
+        wtv = wtv_ref[:]
+        band = band_ref[:]
+        lof = lof_ref[:]
+        kof = kof_ref[:]
+        dlive = dlive_ref[:]
+        M32 = m32_ref[:]
+
+        def dma(slot, blk, j):
+            i = blk * kb + j
+            p = iparams_ref[8 * i + 0]
+            y0 = iparams_ref[8 * i + 1]
+            x0 = iparams_ref[8 * i + 2]
+            # tile-aligned origin (Mosaic must *prove* divisibility)
+            y0a = pl.multiple_of((y0 // 8) * 8, 8)
+            x0a = pl.multiple_of((x0 // 128) * 128, 128)
+            return pltpu.make_async_copy(
+                pyr_ref.at[:, p, pl.ds(y0a, WY), pl.ds(x0a, WX)],
+                wnd.at[slot, j],
+                sems.at[slot, j])
+
+        # valid keypoints occupy a prefix of the slot array (masked-nonzero
+        # compaction, detect.select_keypoints), so a block whose first slot
+        # is invalid is entirely invalid: skip its DMA and compute.  Work
+        # then scales with the *actual* keypoint count, not the capacity.
+        def block_live(blk):
+            return iparams_ref[8 * (blk * kb) + 6] > 0
+
+        @pl.when((step == 0) & block_live(0))
+        def _():
+            for j in range(kb):
+                dma(0, 0, j).start()
+
+        @pl.when((step + 1 < n_steps) & block_live(
+            jnp.minimum(step + 1, n_steps - 1)))
+        def _():
+            for j in range(kb):
+                dma((step + 1) % 2, step + 1, j).start()
+
+        slot = step % 2
+
+        def compute_block(step, slot):
+          for j in range(kb):
+              i = step * kb + j
+              # alignment shift: window-local coords are relative to the
+              # requested (unaligned) origin; the DMA used the rounded-down
+              # one, so shift all coordinates by the remainder
+              sy = iparams_ref[8 * i + 1] % 8
+              sx = iparams_ref[8 * i + 2] % 128
+              yc = fparams_ref[4 * i + 0] + sy.astype(jnp.float32)
+              xc = fparams_ref[4 * i + 1] + sx.astype(jnp.float32)
+              scale = fparams_ref[4 * i + 2]  # int sigma step, as float
+              wL = wnd[slot, j, 0]
+              wLx = wnd[slot, j, 1]
+              wLy = wnd[slot, j, 2]
+
+              # ---- orientation: 11x11 disc at stride `scale` ----
+              # tap = a*11 + b; row offset j = a-5, col offset i = b-5
+              oy = iparams_ref[8 * i + 3]
+              ox = iparams_ref[8 * i + 4]
+              iscale = iparams_ref[8 * i + 5]
+              tap = jax.lax.broadcasted_iota(jnp.int32, (OPAD, 1), 0)
+              ta = tap // 11
+              tb = tap - 11 * ta
+              orow = (oy + sy) + iscale * (ta - 5)
+              ocol = (ox + sx) + iscale * (tb - 5)
+              orow = jnp.where(tap >= 121, -1, orow)
+              gx = sample(orow, ocol, wLx)                     # [OPAD, 1]
+              gy = sample(orow, ocol, wLy)
+              dx = wtv * gx
+              dy = wtv * gy
+              ang = _atan2_poly(dy, dx)  # per-sample angle (atan2 has no
+              # Pallas TPU lowering; the poly is exact to 7.6e-9)
+              abin = jnp.clip((ang * (21.0 / math.pi)).astype(jnp.int32)
+                              + 21, 0, 41)
+              blane = jax.lax.broadcasted_iota(jnp.int32, (OPAD, BINS), 1)
+              bin_oh = jnp.where((abin == blane) & (wtv > 0), 1.0, 0.0)
+              resx = colvec_matmul(dx, bin_oh)                 # [1, BINS]
+              resy = colvec_matmul(dy, bin_oh)
+              re8x = jax.lax.dot_general(
+                  resx, band, (((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32)          # [1, BINS]
+              re8y = jax.lax.dot_general(
+                  resy, band, (((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32)
+              mag = re8x * re8x + re8y * re8y
+              lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, BINS), 1)
+              mag = jnp.where(lane1 < 42, mag, -1.0)
+              # first maximum (strict scan order, akazed.cu:1720)
+              maxv = jnp.max(mag)
+              first = jnp.min(jnp.where(mag == maxv, lane1, BINS))
+              sel = (lane1 == first).astype(jnp.float32)
+              bx = jnp.sum(re8x * sel)
+              by = jnp.sum(re8y * sel)
+              angle = _fast_atan2(by, bx)
+              angle = jnp.where(angle < 0.0, angle + 2.0 * math.pi, angle)
+              angle_ref[j:j + 1, :] = jnp.full((1, WSIZE), angle, jnp.float32)
+
+              # ---- descriptor cell sums ----
+              co = jnp.cos(angle)
+              si = jnp.sin(angle)
+              xp = (xc + scale * (kof * co - lof * si)
+                    + 0.5).astype(jnp.int32)                   # [NPAD, 1]
+              yp = (yc + scale * (kof * si + lof * co)
+                    + 0.5).astype(jnp.int32)
+              yp = jnp.where(dlive > 0, yp, -1)
+              sim = sample(yp, xp, wL)
+              sdx = sample(yp, xp, wLx)
+              sdy = sample(yp, xp, wLy)
+              acc_im = colvec_matmul(sim, M32)                 # [1, 32]
+              acc_dx = colvec_matmul(sdx, M32)
+              acc_dy = colvec_matmul(sdy, M32)
+              # rotate the derivative sums (rotation is linear in the samples
+              # so it commutes with the cell sums on the float path)
+              acc_rx = (-si) * acc_dx + co * acc_dy
+              acc_ry = co * acc_dx + si * acc_dy
+              # grouped layout: lanes 0-31 im, 32-63 rx, 64-95 ry
+              acc_ref[j:j + 1, :] = jnp.concatenate(
+                  [acc_im, acc_rx, acc_ry,
+                   jnp.zeros((1, WSIZE - 96), jnp.float32)], axis=1)
+
+
+        @pl.when(jnp.logical_not(block_live(step)))
+        def _():
+            angle_ref[...] = jnp.zeros_like(angle_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(block_live(step))
+        def _():
+            for j in range(kb):
+                dma(slot, step, j).wait()
+            compute_block(step, slot)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("patsize", "kb", "interpret"))
+def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
+                    kb: int = 8, interpret: bool = False):
+    """Run the fused kernel.
+
+    Args:
+      iparams: [N, 8] int32 per keypoint: (plane, y0, x0, oy, ox, iscale,
+        0, 0) with (y0, x0) the clamped window origin in padded-plane
+        coords, (oy, ox) the reference's integer orientation center
+        (int(x+0.5) >> octave, window-local), iscale the sigma step.
+      fparams: [N, 4] f32 per keypoint: (yc, xc, scale, unused) with
+        (yc, xc) the sub-pixel center in window-local coords and scale ==
+        float(iscale).
+      pyramid: [3, P, Hp, Wp] bf16 stacked (L, Lx, Ly) padded planes.
+
+    Returns (angle [N] f32, acc [N, 87] f32 in cell*3+chan lane layout,
+    matching descriptor._compare_matrices).
+    """
+    n = iparams.shape[0]
+    assert n % kb == 0, "pad keypoint count to a multiple of kb"
+    n_steps = n // kb
+    kernel = _make_kernel(kb, patsize, n_steps)
+    iparams = iparams.reshape(-1)
+    fparams = fparams.reshape(-1)
+
+    wtv = jnp.asarray(_orient_weight_col())
+    band = jnp.asarray(_band_matrix())
+    lof_np, kof_np, M32_np, dlive_np = _descriptor_tables(patsize)
+
+    def const_spec(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, *_: zeros,
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  const_spec((OPAD, 1)),
+                  const_spec((BINS, BINS)),
+                  const_spec((NPAD, 1)),
+                  const_spec((NPAD, 1)),
+                  const_spec((NPAD, 1)),
+                  const_spec((NPAD, 32))],
+        out_specs=[
+            pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
+            pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, kb, 3, WY, WX), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, kb)),
+        ],
+    )
+    angle_b, acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, WSIZE), jnp.float32),
+            jax.ShapeDtypeStruct((n, WSIZE), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(iparams, fparams, pyramid, wtv, band,
+      jnp.asarray(lof_np), jnp.asarray(kof_np), jnp.asarray(dlive_np),
+      jnp.asarray(M32_np))
+    perm = jnp.asarray(_group_to_interleaved())
+    return angle_b[:, 0], acc[:, perm][:, :87]

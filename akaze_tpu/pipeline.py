@@ -46,10 +46,24 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
     octaves, _ = build_scale_space(image, plan, fixed)
     kps = detect_keypoints(octaves, plan, fixed)
     if describe:
-        pp = build_padded_pyramid(octaves, WSIZE)
-        wnd = extract_windows(kps, pp, plan)
-        angle = compute_orientation(kps, wnd, plan, fixed)
-        desc = compute_descriptors(kps, angle, wnd, plan, fixed)
+        # bf16 windows: halves the window-extraction and one-hot matmul HBM
+        # traffic; the one-hot selections stay exact (0/1 weights), only the
+        # sampled intensities round.  The fixed path keeps full precision.
+        sdtype = (jnp.bfloat16 if (not fixed and plan.config.bf16_sampling)
+                  else None)
+        pp = build_padded_pyramid(octaves, WSIZE, dtype=sdtype)
+        mode = plan.config.pallas_descriptor
+        use_pallas = (not fixed) and (
+            mode == "on" or mode == "interpret"
+            or (mode == "auto" and jax.default_backend() == "tpu"))
+        if use_pallas:
+            from .descriptor import orient_describe_pallas
+            angle, desc = orient_describe_pallas(
+                kps, pp, plan, interpret=(mode == "interpret"))
+        else:
+            wnd = extract_windows(kps, pp, plan)
+            angle = compute_orientation(kps, wnd, plan, fixed)
+            desc = compute_descriptors(kps, angle, wnd, plan, fixed)
         words = desc.words
     else:
         angle = jnp.zeros_like(kps.x)

@@ -1,0 +1,60 @@
+"""Parity tests for the fused Pallas orientation+descriptor kernel
+(interpret mode on CPU) against the reference XLA implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from akaze_tpu import AkazeConfig
+from akaze_tpu.plan import build_plan
+from akaze_tpu.scale_space import build_scale_space
+from akaze_tpu.detect import detect_keypoints, build_padded_pyramid
+from akaze_tpu.descriptor import (WSIZE, extract_windows,
+                                  compute_orientation, compute_descriptors,
+                                  orient_describe_pallas)
+from akaze_tpu.pipeline import detect_and_compute
+
+
+def test_kernel_matches_xla_path(test_image):
+    cfg = AkazeConfig(max_pts=256, noctaves=2)
+    plan = build_plan(*test_image.shape, cfg)
+    octs, _ = build_scale_space(jnp.asarray(test_image), plan)
+    kps = detect_keypoints(octs, plan)
+    n = int(kps.count)
+    assert n > 10
+    pp = build_padded_pyramid(octs, WSIZE, dtype=jnp.bfloat16)
+
+    wnd = extract_windows(kps, pp, plan)
+    angle_ref = compute_orientation(kps, wnd, plan)
+    desc_ref = compute_descriptors(kps, angle_ref, wnd, plan)
+    angle_pl, desc_pl = orient_describe_pallas(kps, pp, plan,
+                                               interpret=True)
+
+    a1 = np.asarray(angle_ref)[:n]
+    a2 = np.asarray(angle_pl)[:n]
+    d = np.abs(a1 - a2)
+    d = np.minimum(d, 2 * np.pi - d)
+    assert (d < 1e-3).all()
+
+    w1 = np.asarray(desc_ref.words)[:n]
+    w2 = np.asarray(desc_pl.words)[:n]
+    bitdiff = np.unpackbits((w1 ^ w2).view(np.uint8), axis=1).sum(1)
+    # identical sampling, bf16 windows both paths: bits must agree exactly
+    assert bitdiff.max() == 0
+
+
+def test_pipeline_with_pallas_interpret(test_image):
+    cfg_x = AkazeConfig(max_pts=256, noctaves=2, pallas_descriptor="off")
+    cfg_p = AkazeConfig(max_pts=256, noctaves=2,
+                        pallas_descriptor="interpret")
+    plan_x = build_plan(*test_image.shape, cfg_x)
+    plan_p = build_plan(*test_image.shape, cfg_p)
+    img = jnp.asarray(test_image)
+    fx = detect_and_compute(img, plan_x)
+    fp = detect_and_compute(img, plan_p)
+    n = int(fx.count)
+    assert int(fp.count) == n
+    np.testing.assert_array_equal(np.asarray(fx.words)[:n],
+                                  np.asarray(fp.words)[:n])
+    np.testing.assert_allclose(np.asarray(fx.angle)[:n],
+                               np.asarray(fp.angle)[:n], atol=1e-3)

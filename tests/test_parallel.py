@@ -18,7 +18,7 @@ def mesh8():
 
 
 def test_dp_pipeline_matches_single_device(mesh8, test_image):
-    h, w = 160, 192
+    h, w = 112, 128
     imgs_a = np.stack([test_image[i:i + h, i:i + w] for i in range(8)])
     imgs_b = np.stack([test_image[i + 3:i + 3 + h, i + 5:i + 5 + w]
                        for i in range(8)])
