@@ -1,0 +1,116 @@
+"""Demo / benchmark CLI — the reference's main.cpp as a module entry point.
+
+Replicates the demo lifecycle (main.cpp:17-341): load a grayscale pair,
+run detect+describe on both, brute-force match, print counts and stage
+timings, and write keypoint/match renderings.
+
+Usage:
+    python -m akaze_tpu.cli [--left PATH] [--right PATH] [--fixed]
+                            [--iters N] [--out-dir DIR] [--max-pts N]
+                            [--no-draw]
+
+Defaults use the reference's stereo pair (the stock img1/img2 pair is
+missing from the reference checkout, .MISSING_LARGE_BLOBS; argv[2]=1 path,
+main.cpp:139-143).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-AKAZE demo/benchmark")
+    ap.add_argument("--left", default="/root/reference/data/left.pgm")
+    ap.add_argument("--right", default="/root/reference/data/right.pgm")
+    ap.add_argument("--fixed", action="store_true",
+                    help="16.16 fixed-point pipeline (fastakaze)")
+    ap.add_argument("--iters", type=int, default=10,
+                    help="timing repeats (reference uses 100)")
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--max-pts", type=int, default=10000)
+    ap.add_argument("--no-draw", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="print one JSON line instead of text")
+    args = ap.parse_args(argv)
+
+    import jax
+    from . import Akaze, AkazeConfig
+    from .io import load_gray as load_image
+
+    left = load_image(args.left)
+    right = load_image(args.right)
+    if not args.fixed:
+        left_in = left.astype(np.float32) / 255.0
+        right_in = right.astype(np.float32) / 255.0
+    else:
+        left_in, right_in = left, right
+
+    det = Akaze(AkazeConfig(max_pts=args.max_pts), fixed=args.fixed)
+
+    # warm-up / compile
+    t0 = time.time()
+    fa = det.detect_and_compute(left_in)
+    fb = det.detect_and_compute(right_in)
+    jax.block_until_ready(fb.words)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        fa = det.detect_and_compute(left_in)
+        fb = det.detect_and_compute(right_in)
+    jax.block_until_ready(fb.words)
+    detect_ms = (time.time() - t0) / args.iters * 1000
+
+    t0 = time.time()
+    m = det.match(fa, fb)
+    jax.block_until_ready(m.index)
+    match_ms = (time.time() - t0) * 1000
+
+    na, nb = int(fa.count), int(fb.count)
+    acc = np.asarray(m.index)[:na] >= 0
+    n_match = int(acc.sum())
+
+    if args.json:
+        print(json.dumps({
+            "left_pts": na, "right_pts": nb, "matches": n_match,
+            "detect_pair_ms": round(detect_ms, 3),
+            "match_ms": round(match_ms, 3),
+            "compile_s": round(compile_s, 1),
+            "fixed": args.fixed, "backend": jax.default_backend()}))
+    else:
+        mode = "fastakaze (16.16 int)" if args.fixed else "akaze (float32)"
+        print(f"[{mode}] backend={jax.default_backend()}")
+        print(f"Number of features: {na} / {nb}")
+        print(f"Matched features:   {n_match}")
+        print(f"Detect+describe (both images, avg of {args.iters}): "
+              f"{detect_ms:.2f} ms")
+        print(f"Match: {match_ms:.2f} ms   (compile: {compile_s:.1f} s)")
+
+    if not args.no_draw:
+        from .viz import draw_keypoints, draw_matches, write_png
+        os.makedirs(args.out_dir, exist_ok=True)
+        tag = "fastakaze" if args.fixed else "akaze"
+        kp_img = draw_keypoints(left, np.asarray(fa.x)[:na],
+                                np.asarray(fa.y)[:na],
+                                np.asarray(fa.size)[:na])
+        write_png(os.path.join(args.out_dir, f"{tag}_keypoints.png"),
+                  kp_img)
+        mm = draw_matches(left, right,
+                          np.asarray(fa.x)[:na], np.asarray(fa.y)[:na],
+                          np.asarray(m.match_x)[:na],
+                          np.asarray(m.match_y)[:na], acc,
+                          horizontal=left.shape[1] <= left.shape[0])
+        write_png(os.path.join(args.out_dir, f"{tag}_matches.png"), mm)
+        if not args.json:
+            print(f"Wrote {tag}_keypoints.png / {tag}_matches.png "
+                  f"to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

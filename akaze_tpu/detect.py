@@ -100,17 +100,27 @@ def build_extrema_maps(octaves: List[OctaveData], plan: PipelinePlan,
         best_size = sizes[best_s]
         best_layer = oi * cfg.max_scale + best_s.astype(jnp.int32)
 
+        # strided write-back without scatter: expand [h, w] -> [h*r, w*r]
+        # with MIN/zero fill at non-multiples (pad + reshape, which XLA
+        # lowers to cheap copies; .at[::r, ::r].set() lowers to scatter,
+        # which dominated the whole detection stage on TPU)
         r = 1 << oi
-        view_r = resp_full[0:h * r:r, 0:w * r:r]
-        take = best > view_r  # strictly greater: earlier octaves win ties
-        resp_full = resp_full.at[0:h * r:r, 0:w * r:r].set(
-            jnp.where(take, best, view_r))
-        view_s = size_full[0:h * r:r, 0:w * r:r]
-        size_full = size_full.at[0:h * r:r, 0:w * r:r].set(
-            jnp.where(take, best_size, view_s))
-        view_l = layer_full[0:h * r:r, 0:w * r:r]
-        layer_full = layer_full.at[0:h * r:r, 0:w * r:r].set(
-            jnp.where(take & (best > threshold), best_layer, view_l))
+
+        def up(x, fill):
+            if r == 1:
+                return x
+            x = jnp.pad(x[:, :, None, None],
+                        ((0, 0), (0, 0), (0, r - 1), (0, r - 1)),
+                        constant_values=fill)
+            x = jnp.transpose(x, (0, 2, 1, 3)).reshape(h * r, w * r)
+            return x
+
+        up_resp = up(best, minval)
+        take = up_resp > resp_full  # strictly greater: earlier octaves win
+        resp_full = jnp.where(take, up_resp, resp_full)
+        size_full = jnp.where(take, up(best_size, 0.0), size_full)
+        layer_full = jnp.where(take & (up_resp > threshold),
+                               up(best_layer, -1), layer_full)
 
     return resp_full, size_full, layer_full
 
@@ -155,14 +165,41 @@ def nms(resp_full, size_full, layer_full, plan: PipelinePlan,
     return (layer_full >= 0) & region & ~suppressed
 
 
+ROW_CAP = 128   # max keypoints kept per image row (NMS survivors are very
+                # sparse; a 1280-wide row with radius >= 1 NMS can't exceed
+                # ~427, and real images stay far below 128)
+
+
 def select_keypoints(mask, resp_full, size_full, layer_full,
                      max_pts: int) -> Keypoints:
-    """Masked compaction into fixed-size SoA tensors."""
+    """Masked compaction into fixed-size SoA tensors.
+
+    A flat ``jnp.nonzero`` over the full-resolution mask costs a cumsum +
+    scatter over H*W elements (~11 ms at 960x1280 on v5e).  Survivors are
+    sparse, so compact hierarchically instead: per-row top-ROW_CAP by a
+    position-encoding key (exact row-major order), then one small nonzero
+    over the [H*ROW_CAP] candidate list.
+    """
     h, w = mask.shape
-    flat = mask.ravel()
-    count = jnp.minimum(jnp.sum(flat.astype(jnp.int32)), max_pts)
-    (idx,) = jnp.nonzero(flat, size=max_pts, fill_value=0)
-    idx = idx.astype(jnp.int32)
+    cap = min(ROW_CAP, w)
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), max_pts)
+    # key encodes (valid, -column) so top-k yields valid columns in
+    # ascending column order; iota < 2^24 is exact in f32's integer range
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    key = jnp.where(mask, (w - cols).astype(jnp.float32), 0.0)
+    topv, topi = jax.lax.top_k(key, cap)           # [h, cap]
+    cvalid = topv > 0.0
+    # flatten candidates; row-major order preserved (rows ascending, columns
+    # ascending within a row)
+    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (h, cap), 0) * w
+                + topi).reshape(-1)
+    cflat = cvalid.reshape(-1)
+    (sel,) = jnp.nonzero(cflat, size=max_pts, fill_value=0)
+    n_cand = jnp.sum(cflat.astype(jnp.int32))
+    got = jnp.arange(max_pts, dtype=jnp.int32) < n_cand
+    idx = jnp.where(got, flat_idx[sel], 0).astype(jnp.int32)
+    # a row overflowing ROW_CAP drops its tail; count reflects what was kept
+    count = jnp.minimum(count, n_cand)
     valid = jnp.arange(max_pts, dtype=jnp.int32) < count
     y = idx // w
     x = idx % w
@@ -191,7 +228,8 @@ class FlatPyramid(NamedTuple):
     plane: jax.Array    # [noctaves] int32: H_o * W_o
 
 
-def flatten_pyramid(octaves: List[OctaveData]) -> FlatPyramid:
+def flatten_pyramid(octaves: List[OctaveData],
+                    det_only: bool = False) -> FlatPyramid:
     offs, widths, heights, planes = [], [], [], []
     total = 0
     for o in octaves:
@@ -201,11 +239,17 @@ def flatten_pyramid(octaves: List[OctaveData]) -> FlatPyramid:
         heights.append(h)
         planes.append(h * w)
         total += s * h * w
+    det = jnp.concatenate([o.det.ravel() for o in octaves])
+    if det_only:
+        # refinement only reads the det plane; concatenating the other
+        # three copies the whole pyramid for nothing
+        L = lx = ly = det
+    else:
+        L = jnp.concatenate([o.L.ravel() for o in octaves])
+        lx = jnp.concatenate([o.lx.ravel() for o in octaves])
+        ly = jnp.concatenate([o.ly.ravel() for o in octaves])
     return FlatPyramid(
-        L=jnp.concatenate([o.L.ravel() for o in octaves]),
-        det=jnp.concatenate([o.det.ravel() for o in octaves]),
-        lx=jnp.concatenate([o.lx.ravel() for o in octaves]),
-        ly=jnp.concatenate([o.ly.ravel() for o in octaves]),
+        L=L, det=det, lx=lx, ly=ly,
         offsets=jnp.asarray(offs, jnp.int32),
         widths=jnp.asarray(widths, jnp.int32),
         heights=jnp.asarray(heights, jnp.int32),
@@ -312,5 +356,5 @@ def detect_keypoints(octaves: List[OctaveData], plan: PipelinePlan,
     resp, size, layer = build_extrema_maps(octaves, plan, fixed)
     mask = nms(resp, size, layer, plan, fixed)
     kps = select_keypoints(mask, resp, size, layer, plan.config.max_pts)
-    flat = flatten_pyramid(octaves)
+    flat = flatten_pyramid(octaves, det_only=True)
     return refine_keypoints(kps, flat, plan, fixed)

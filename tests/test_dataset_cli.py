@@ -1,0 +1,88 @@
+"""Tests for dataset utilities and the demo CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from akaze_tpu.io import (FrameSequence, load_kitti_poses, save_kitti_poses,
+                          ate_rmse, synthetic_sequence, save_pgm)
+
+
+class TestSyntheticSequence:
+    def test_shapes_and_offsets(self, rng):
+        frames, offs = synthetic_sequence(rng, n_frames=5, size=(120, 160),
+                                          shift_per_frame=(3.0, 1.0))
+        assert frames.shape == (5, 120, 160)
+        assert frames.dtype == np.uint8
+        np.testing.assert_allclose(offs[1] - offs[0], [3, 1], atol=0.51)
+
+    def test_frames_are_shifted_views(self, rng):
+        frames, offs = synthetic_sequence(rng, n_frames=3, size=(100, 100),
+                                          shift_per_frame=(0.0, 5.0))
+        # frame k shifted by 5 px in x: overlapping region must agree
+        a = frames[0][:, 5:]
+        b = frames[1][:, :-5]
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 1.0
+
+
+class TestKittiPoses:
+    def test_roundtrip(self, tmp_path, rng):
+        R = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
+        t = rng.standard_normal((4, 3)).astype(np.float32)
+        p = str(tmp_path / "poses.txt")
+        save_kitti_poses(p, R, t)
+        R2, t2 = load_kitti_poses(p)
+        np.testing.assert_allclose(R2, R, atol=1e-6)
+        np.testing.assert_allclose(t2, t, atol=1e-6)
+
+
+class TestAte:
+    def test_zero_for_identical(self, rng):
+        t = rng.standard_normal((10, 3))
+        assert ate_rmse(t, t) < 1e-9
+
+    def test_alignment_removes_similarity(self, rng):
+        t = rng.standard_normal((20, 3))
+        ang = 0.3
+        R = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                        [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+        t2 = 1.7 * t @ R.T + np.asarray([5.0, -2.0, 1.0])
+        assert ate_rmse(t2, t, align=True) < 1e-6
+        assert ate_rmse(t2, t, align=False) > 1.0
+
+
+class TestFrameSequence:
+    def test_reads_in_order(self, tmp_path, rng):
+        for i in range(4):
+            save_pgm(str(tmp_path / f"{i:06d}.pgm"),
+                     np.full((8, 10), i * 10, np.uint8))
+        seq = FrameSequence(str(tmp_path))
+        frames = list(seq)
+        assert len(frames) == 4
+        for i, f in enumerate(frames):
+            assert f[0, 0] == i * 10
+
+    def test_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            FrameSequence(str(tmp_path / "none"))
+
+
+class TestCli:
+    def test_demo_runs(self, tmp_path, rng, capsys):
+        from akaze_tpu.cli import main
+        frames, _ = synthetic_sequence(rng, n_frames=2, size=(160, 200),
+                                       shift_per_frame=(2.0, 3.0))
+        lp = str(tmp_path / "l.pgm")
+        rp = str(tmp_path / "r.pgm")
+        save_pgm(lp, frames[0])
+        save_pgm(rp, frames[1])
+        main(["--left", lp, "--right", rp, "--iters", "1",
+              "--max-pts", "512", "--out-dir", str(tmp_path), "--json"])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        import json
+        rec = json.loads(out)
+        assert rec["left_pts"] > 5
+        assert rec["matches"] > 3
+        assert os.path.exists(str(tmp_path / "akaze_keypoints.png"))
+        assert os.path.exists(str(tmp_path / "akaze_matches.png"))
