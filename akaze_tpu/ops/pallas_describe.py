@@ -143,35 +143,26 @@ def _fast_atan2(y, x):
     return r
 
 
-def _make_kernel(kb: int, patsize: int, n_steps: int):
+def _make_kernel(kb: int, patsize: int, n_steps: int,
+                 parts: str = "both"):
+    """Batched-block kernel: the per-keypoint formulation issued ~45 small
+    vector/matrix ops per keypoint and was op-issue bound (~3 us/kp).  Here
+    only the window-dependent sampling matmuls stay per-keypoint; everything
+    downstream (disc weighting, atan2, histogram, band scan, arg-max, tap
+    geometry, cell sums, rotation) runs once per kb-block on [.., kb]-shaped
+    arrays, reducing per-keypoint op count by ~5x.
+    """
     def one_hot_rows(idx_col, width, dtype):
         """[n, 1] int32 -> [n, width] one-hot (all-zero for idx < 0)."""
         lanes = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0],
                                                      width), 1)
         return (idx_col == lanes).astype(dtype)
 
-    def sample(row_col, col_col, window):
-        """samples[s] = window[row[s], col[s]]: one-hot matmul + select.
-
-        row_col/col_col: [n, 1] int32; window [WY, WX] bf16 -> [n, 1] f32."""
-        row_oh = one_hot_rows(row_col, WY, jnp.bfloat16)
-        T = jax.lax.dot_general(
-            row_oh, window, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [n, WX]
-        col_oh = one_hot_rows(col_col, WX, jnp.float32)
-        return jnp.sum(T * col_oh, axis=1, keepdims=True)    # [n, 1]
-
-    def colvec_matmul(v_col, M):
-        """[n, 1] x [n, m] -> [1, m] (contract over rows)."""
-        return jax.lax.dot_general(
-            v_col, M, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    def kernel(iparams_ref,           # prefetch [N*8] int32 (SMEM pads 2D
-               #   rows to 128 lanes, so flat 1D it is):
-               #   (plane, y0, x0, oy, ox, iscale, 0, 0); oy/ox = the
+    def kernel(iparams_ref,           # prefetch [N*8] int32 (flat; SMEM
+               #   pads 2D rows to 128 lanes): per keypoint
+               #   (plane, y0, x0, oy, ox, iscale, valid, 0); oy/ox = the
                #   reference's int(x+0.5)>>o orientation center, window-local
-               fparams_ref,           # prefetch [N, 4] f32: yc, xc, scale, -
+               fparams_ref,           # prefetch [N*4] f32: yc, xc, scale, -
                pyr_ref,               # [3, P, Hp, Wp] bf16 (HBM)
                wtv_ref,               # [OPAD, 1] f32 disc weights
                band_ref,              # [BINS, BINS] f32 7-bin window summer
@@ -179,10 +170,11 @@ def _make_kernel(kb: int, patsize: int, n_steps: int):
                kof_ref,               # [NPAD, 1] f32 descriptor k offsets
                dlive_ref,             # [NPAD, 1] f32 tap liveness
                m32_ref,               # [NPAD, 32] f32 cell membership
+               g2_ref,                # [2*kb*WX, 2*kb] f32 select-reduce
                angle_ref,             # out [kb, 128] f32
                acc_ref,               # out [kb, 128] f32
-               wnd,                   # scratch [2, kb, 3, W, W] bf16
-               sems):                 # DMA sems [2, kb]
+               wnd,                   # scratch [2, kb, WY, 3*WX] bf16
+               sems):                 # DMA sems [2, kb, 3]
         step = pl.program_id(0)
         wtv = wtv_ref[:]
         band = band_ref[:]
@@ -191,7 +183,7 @@ def _make_kernel(kb: int, patsize: int, n_steps: int):
         dlive = dlive_ref[:]
         M32 = m32_ref[:]
 
-        def dma(slot, blk, j):
+        def dma(slot, blk, j, t):
             i = blk * kb + j
             p = iparams_ref[8 * i + 0]
             y0 = iparams_ref[8 * i + 1]
@@ -200,9 +192,9 @@ def _make_kernel(kb: int, patsize: int, n_steps: int):
             y0a = pl.multiple_of((y0 // 8) * 8, 8)
             x0a = pl.multiple_of((x0 // 128) * 128, 128)
             return pltpu.make_async_copy(
-                pyr_ref.at[:, p, pl.ds(y0a, WY), pl.ds(x0a, WX)],
-                wnd.at[slot, j],
-                sems.at[slot, j])
+                pyr_ref.at[t, p, pl.ds(y0a, WY), pl.ds(x0a, WX)],
+                wnd.at[slot, j, :, pl.ds(t * WX, WX)],
+                sems.at[slot, j, t])
 
         # valid keypoints occupy a prefix of the slot array (masked-nonzero
         # compaction, detect.select_keypoints), so a block whose first slot
@@ -214,96 +206,202 @@ def _make_kernel(kb: int, patsize: int, n_steps: int):
         @pl.when((step == 0) & block_live(0))
         def _():
             for j in range(kb):
-                dma(0, 0, j).start()
+                for t in range(3):
+                    dma(0, 0, j, t).start()
 
         @pl.when((step + 1 < n_steps) & block_live(
             jnp.minimum(step + 1, n_steps - 1)))
         def _():
             for j in range(kb):
-                dma((step + 1) % 2, step + 1, j).start()
+                for t in range(3):
+                    dma((step + 1) % 2, step + 1, j, t).start()
 
         slot = step % 2
 
         def compute_block(step, slot):
-          for j in range(kb):
-              i = step * kb + j
-              # alignment shift: window-local coords are relative to the
-              # requested (unaligned) origin; the DMA used the rounded-down
-              # one, so shift all coordinates by the remainder
-              sy = iparams_ref[8 * i + 1] % 8
-              sx = iparams_ref[8 * i + 2] % 128
-              yc = fparams_ref[4 * i + 0] + sy.astype(jnp.float32)
-              xc = fparams_ref[4 * i + 1] + sx.astype(jnp.float32)
-              scale = fparams_ref[4 * i + 2]  # int sigma step, as float
-              wL = wnd[slot, j, 0]
-              wLx = wnd[slot, j, 1]
-              wLy = wnd[slot, j, 2]
+            # ---- gather per-keypoint scalars into [1, kb] rows ----
+            sy_l, sx_l, yc_l, xc_l, sc_l, oy_l, ox_l, isc_l = ([] for _
+                                                               in range(8))
+            for j in range(kb):
+                i = step * kb + j
+                sy = iparams_ref[8 * i + 1] % 8
+                sx = iparams_ref[8 * i + 2] % 128
+                sy_l.append(sy)
+                sx_l.append(sx)
+                yc_l.append(fparams_ref[4 * i + 0] + sy.astype(jnp.float32))
+                xc_l.append(fparams_ref[4 * i + 1] + sx.astype(jnp.float32))
+                sc_l.append(fparams_ref[4 * i + 2])
+                oy_l.append(iparams_ref[8 * i + 3] + sy)
+                ox_l.append(iparams_ref[8 * i + 4] + sx)
+                isc_l.append(iparams_ref[8 * i + 5])
+            yc_row = jnp.stack(yc_l).reshape(1, kb)
+            xc_row = jnp.stack(xc_l).reshape(1, kb)
+            sc_row = jnp.stack(sc_l).reshape(1, kb)
 
-              # ---- orientation: 11x11 disc at stride `scale` ----
-              # tap = a*11 + b; row offset j = a-5, col offset i = b-5
-              oy = iparams_ref[8 * i + 3]
-              ox = iparams_ref[8 * i + 4]
-              iscale = iparams_ref[8 * i + 5]
-              tap = jax.lax.broadcasted_iota(jnp.int32, (OPAD, 1), 0)
-              ta = tap // 11
-              tb = tap - 11 * ta
-              orow = (oy + sy) + iscale * (ta - 5)
-              ocol = (ox + sx) + iscale * (tb - 5)
-              orow = jnp.where(tap >= 121, -1, orow)
-              gx = sample(orow, ocol, wLx)                     # [OPAD, 1]
-              gy = sample(orow, ocol, wLy)
-              dx = wtv * gx
-              dy = wtv * gy
-              ang = _atan2_poly(dy, dx)  # per-sample angle (atan2 has no
-              # Pallas TPU lowering; the poly is exact to 7.6e-9)
-              abin = jnp.clip((ang * (21.0 / math.pi)).astype(jnp.int32)
-                              + 21, 0, 41)
-              blane = jax.lax.broadcasted_iota(jnp.int32, (OPAD, BINS), 1)
-              bin_oh = jnp.where((abin == blane) & (wtv > 0), 1.0, 0.0)
-              resx = colvec_matmul(dx, bin_oh)                 # [1, BINS]
-              resy = colvec_matmul(dy, bin_oh)
-              re8x = jax.lax.dot_general(
-                  resx, band, (((1,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32)          # [1, BINS]
-              re8y = jax.lax.dot_general(
-                  resy, band, (((1,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32)
-              mag = re8x * re8x + re8y * re8y
-              lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, BINS), 1)
-              mag = jnp.where(lane1 < 42, mag, -1.0)
-              # first maximum (strict scan order, akazed.cu:1720)
-              maxv = jnp.max(mag)
-              first = jnp.min(jnp.where(mag == maxv, lane1, BINS))
-              sel = (lane1 == first).astype(jnp.float32)
-              bx = jnp.sum(re8x * sel)
-              by = jnp.sum(re8y * sel)
-              angle = _fast_atan2(by, bx)
-              angle = jnp.where(angle < 0.0, angle + 2.0 * math.pi, angle)
-              angle_ref[j:j + 1, :] = jnp.full((1, WSIZE), angle, jnp.float32)
+            # ---- orientation: 11x11 disc at per-kp stride ----
+            # tap = a*11 + b; row offset j = a-5, col offset i = b-5
+            if parts == "desc":
+                angle = jnp.zeros((kb, 1), jnp.float32)
+            else:
+                tap = jax.lax.broadcasted_iota(jnp.int32, (OPAD, 1), 0)
+                ta = tap // 11
+                tb = tap - 11 * ta
+                Ts = []
+                cols2 = []
+                for j in range(kb):
+                    orow = oy_l[j] + isc_l[j] * (ta - 5)
+                    ocol = ox_l[j] + isc_l[j] * (tb - 5)
+                    orow = jnp.where(tap >= 121, -1, orow)
+                    row_oh = one_hot_rows(orow, WY, jnp.bfloat16)
+                    # both derivative planes in one matmul
+                    T = jax.lax.dot_general(
+                        row_oh, wnd[slot, j, :, WX:3 * WX],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [OPAD, 2WX]
+                    Ts.append(T.astype(jnp.bfloat16))
+                    c = one_hot_rows(ocol, WX, jnp.bfloat16)
+                    cols2.append(jnp.concatenate([c, c], axis=1))
+                T_all = jnp.concatenate(Ts, axis=1)        # [OPAD, kb*2WX]
+                C_all = jnp.concatenate(cols2, axis=1)
+                P = (T_all * C_all).astype(jnp.float32)
+                # block-ones reduce: [OPAD, kb*2WX] @ [kb*2WX, 2kb]
+                gxy = jax.lax.dot_general(
+                    P, g2_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [OPAD, 2kb]
+                gx = gxy[:, :kb]
+                gy = gxy[:, kb:2 * kb]
+                dx = wtv * gx                               # [OPAD, kb]
+                dy = wtv * gy
+                ang = _atan2_poly(dy, dx)  # (atan2 has no Pallas lowering)
+                abin = jnp.clip((ang * (21.0 / math.pi)).astype(jnp.int32)
+                                + 21, 0, 41)
+                # 42-bin weighted histogram for all kb at once, in
+                # keypoint-major 128-lane blocks (lane l = k*128 + b).  The
+                # column k -> lane-block expansion is a 0/1 matmul; cross-
+                # lane reshapes are unsupported in Mosaic, so the final
+                # [1, kb*128] -> [kb, 128] regroup is static slices+concat.
+                expk = (jax.lax.broadcasted_iota(
+                    jnp.int32, (kb, kb * 128), 1) // 128
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (kb, kb * 128), 0)).astype(jnp.float32)
 
-              # ---- descriptor cell sums ----
-              co = jnp.cos(angle)
-              si = jnp.sin(angle)
-              xp = (xc + scale * (kof * co - lof * si)
-                    + 0.5).astype(jnp.int32)                   # [NPAD, 1]
-              yp = (yc + scale * (kof * si + lof * co)
-                    + 0.5).astype(jnp.int32)
-              yp = jnp.where(dlive > 0, yp, -1)
-              sim = sample(yp, xp, wL)
-              sdx = sample(yp, xp, wLx)
-              sdy = sample(yp, xp, wLy)
-              acc_im = colvec_matmul(sim, M32)                 # [1, 32]
-              acc_dx = colvec_matmul(sdx, M32)
-              acc_dy = colvec_matmul(sdy, M32)
-              # rotate the derivative sums (rotation is linear in the samples
-              # so it commutes with the cell sums on the float path)
-              acc_rx = (-si) * acc_dx + co * acc_dy
-              acc_ry = co * acc_dx + si * acc_dy
-              # grouped layout: lanes 0-31 im, 32-63 rx, 64-95 ry
-              acc_ref[j:j + 1, :] = jnp.concatenate(
-                  [acc_im, acc_rx, acc_ry,
-                   jnp.zeros((1, WSIZE - 96), jnp.float32)], axis=1)
+                def expand(v):
+                    return jax.lax.dot_general(
+                        v, expk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
+                dxE = expand(dx)                         # [OPAD, kb*128]
+                dyE = expand(dy)
+                abE = expand(abin.astype(jnp.float32)).astype(jnp.int32)
+                b_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (OPAD, kb * 128), 1) % 128
+                hit = (abE == b_lane) & (wtv > 0)
+                resx_f = jnp.sum(jnp.where(hit, dxE, 0.0), axis=0,
+                                 keepdims=True)          # [1, kb*128]
+                resy_f = jnp.sum(jnp.where(hit, dyE, 0.0), axis=0,
+                                 keepdims=True)
+                resx = jnp.concatenate(
+                    [resx_f[:, 128 * k:128 * (k + 1)] for k in range(kb)],
+                    axis=0)                              # [kb, 128]
+                resy = jnp.concatenate(
+                    [resy_f[:, 128 * k:128 * (k + 1)] for k in range(kb)],
+                    axis=0)
+                re8x = jax.lax.dot_general(
+                    resx[:, :BINS], band, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [kb, BINS]
+                re8y = jax.lax.dot_general(
+                    resy[:, :BINS], band, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                mag = re8x * re8x + re8y * re8y
+                blane = jax.lax.broadcasted_iota(jnp.int32, (kb, BINS), 1)
+                mag = jnp.where(blane < 42, mag, -1.0)
+                # first maximum per row (strict scan, akazed.cu:1720)
+                maxv = jnp.max(mag, axis=1, keepdims=True)
+                first = jnp.min(jnp.where(mag == maxv, blane, BINS),
+                                axis=1, keepdims=True)
+                sel = (blane == first).astype(jnp.float32)
+                bx = jnp.sum(re8x * sel, axis=1, keepdims=True)  # [kb, 1]
+                by = jnp.sum(re8y * sel, axis=1, keepdims=True)
+                angle = _fast_atan2(by, bx)
+                angle = jnp.where(angle < 0.0, angle + 2.0 * math.pi,
+                                  angle)                 # [kb, 1]
+            angle_col = angle
+            angle_ref[...] = jnp.broadcast_to(angle_col, (kb, WSIZE))
+
+            # ---- descriptor cell sums ----
+            if parts == "orient":
+                acc_ref[...] = jnp.zeros((kb, WSIZE), jnp.float32)
+                return
+            co_col = jnp.cos(angle_col)                     # [kb, 1]
+            si_col = jnp.sin(angle_col)
+            # transpose [kb, 1] -> [1, kb] via identity contraction (Mosaic
+            # has no free small transpose)
+            eye_kb = (jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 0)
+                      == jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 1)
+                      ).astype(jnp.float32)
+            co_row = jax.lax.dot_general(
+                co_col, eye_kb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [1, kb]
+            si_row = jax.lax.dot_general(
+                si_col, eye_kb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # rotated tap positions for all kb keypoints: [NPAD, kb]
+            xp = (xc_row + sc_row * (kof * co_row - lof * si_row)
+                  + 0.5).astype(jnp.int32)
+            yp = (yc_row + sc_row * (kof * si_row + lof * co_row)
+                  + 0.5).astype(jnp.int32)
+            yp = jnp.where(dlive > 0, yp, -1)
+            ones3 = jnp.ones((WX, 3), jnp.float32)  # per-plane reducer
+            Ss = []
+            for j in range(kb):
+                row_oh = one_hot_rows(yp[:, j:j + 1], WY, jnp.bfloat16)
+                T = jax.lax.dot_general(
+                    row_oh, wnd[slot, j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [NPAD, 3WX]
+                c = one_hot_rows(xp[:, j:j + 1], WX, jnp.bfloat16)
+                c3 = jnp.concatenate([c, c, c], axis=1)
+                Pj = (T.astype(jnp.bfloat16) * c3).astype(jnp.float32)
+                # reduce each WX chunk: [NPAD, 3WX] -> [NPAD, 3]
+                Sj = (jnp.sum(Pj[:, :WX], axis=1, keepdims=True),
+                      jnp.sum(Pj[:, WX:2 * WX], axis=1, keepdims=True),
+                      jnp.sum(Pj[:, 2 * WX:], axis=1, keepdims=True))
+                Ss.extend(Sj)
+            S_all = jnp.concatenate(Ss, axis=1)             # [NPAD, 3kb]
+            acc = jax.lax.dot_general(
+                S_all, M32, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [3kb, 32]
+            # rotate derivative cell sums (linear, commutes with the cell
+            # sums on the float path); rows are (im, dx, dy) per keypoint.
+            # row r needs coefficient of keypoint r // 3 (pltpu.repeat
+            # tiles, so build the 3x row-expansion with a selection matmul)
+            R3 = (jax.lax.broadcasted_iota(jnp.int32, (3 * kb, kb), 1)
+                  == jax.lax.broadcasted_iota(jnp.int32, (3 * kb, kb), 0)
+                  // 3).astype(jnp.float32)
+            co3 = jax.lax.dot_general(
+                R3, co_col, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [3kb, 1]
+            si3 = jax.lax.dot_general(
+                R3, si_col, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_up = pltpu.roll(acc, 3 * kb - 1, axis=0)  # 3j+1 <- dy (roll requires a non-negative shift; -1 == 3kb-1 mod 3kb)
+            acc_dn = pltpu.roll(acc, 1, axis=0)    # row 3j+2 -> dx row
+            rx_full = (-si3) * acc + co3 * acc_up
+            ry_full = co3 * acc_dn + si3 * acc
+            rowt = jax.lax.broadcasted_iota(jnp.int32, (3 * kb, 1), 0) % 3
+            rot = jnp.where(rowt == 0, acc,
+                            jnp.where(rowt == 1, rx_full, ry_full))
+            # regroup [3kb, 32] -> [kb, 96] (lanes: im | rx | ry) with three
+            # row-selection matmuls (avoids a cross-sublane reshape)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (kb, 3 * kb), 1)
+            ks = jax.lax.broadcasted_iota(jnp.int32, (kb, 3 * kb), 0)
+            groups = [
+                jax.lax.dot_general(
+                    (rows == 3 * ks + c).astype(jnp.float32), rot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [kb, 32]
+                for c in range(3)]
+            acc_ref[...] = jnp.concatenate(
+                groups + [jnp.zeros((kb, WSIZE - 96), jnp.float32)], axis=1)
 
         @pl.when(jnp.logical_not(block_live(step)))
         def _():
@@ -313,15 +411,28 @@ def _make_kernel(kb: int, patsize: int, n_steps: int):
         @pl.when(block_live(step))
         def _():
             for j in range(kb):
-                dma(slot, step, j).wait()
+                for t in range(3):
+                    dma(slot, step, j, t).wait()
             compute_block(step, slot)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("patsize", "kb", "interpret"))
+@lru_cache(maxsize=None)
+def _g2_matrix(kb: int):
+    """[kb*2*WX, 2*kb] block-ones: column j sums the gx chunk of keypoint
+    j, column kb+j the gy chunk."""
+    G = np.zeros((kb * 2 * WX, 2 * kb), np.float32)
+    for j in range(kb):
+        G[j * 2 * WX:j * 2 * WX + WX, j] = 1.0
+        G[j * 2 * WX + WX:(j + 1) * 2 * WX, kb + j] = 1.0
+    return G
+
+
+@partial(jax.jit, static_argnames=("patsize", "kb", "interpret", "parts"))
 def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
-                    kb: int = 8, interpret: bool = False):
+                    kb: int = 8, interpret: bool = False,
+                    parts: str = "both"):
     """Run the fused kernel.
 
     Args:
@@ -340,7 +451,7 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
     n = iparams.shape[0]
     assert n % kb == 0, "pad keypoint count to a multiple of kb"
     n_steps = n // kb
-    kernel = _make_kernel(kb, patsize, n_steps)
+    kernel = _make_kernel(kb, patsize, n_steps, parts)
     iparams = iparams.reshape(-1)
     fparams = fparams.reshape(-1)
 
@@ -362,14 +473,15 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
                   const_spec((NPAD, 1)),
                   const_spec((NPAD, 1)),
                   const_spec((NPAD, 1)),
-                  const_spec((NPAD, 32))],
+                  const_spec((NPAD, 32)),
+                  const_spec((kb * 2 * WX, 2 * kb))],
         out_specs=[
             pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
             pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, kb, 3, WY, WX), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, kb)),
+            pltpu.VMEM((2, kb, WY, 3 * WX), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, kb, 3)),
         ],
     )
     angle_b, acc = pl.pallas_call(
@@ -384,6 +496,6 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
         interpret=interpret,
     )(iparams, fparams, pyramid, wtv, band,
       jnp.asarray(lof_np), jnp.asarray(kof_np), jnp.asarray(dlive_np),
-      jnp.asarray(M32_np))
+      jnp.asarray(M32_np), jnp.asarray(_g2_matrix(kb)))
     perm = jnp.asarray(_group_to_interleaved())
     return angle_b[:, 0], acc[:, perm][:, :87]
