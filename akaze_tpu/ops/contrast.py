@@ -38,6 +38,36 @@ def _cumulative_bins(bins):
                    dtype=jnp.int32)
 
 
+def _percentile_bisect(bins, npix: int, per: float):
+    """Percentile bin via 9-step bisection: smallest m with
+    #(1 <= bin <= m) >= trunc((npix - #(bin == 0)) * per).
+
+    Equivalent to ``_percentile_from_cum(_cumulative_bins(bins), ...)`` but
+    evaluates only ~9 masked full-array reductions instead of a
+    [Npix, NBINS] broadcast compare (which cost ~1.2 ms at 960x1280).
+    Returns k in [1, NBINS].
+    """
+    import jax
+
+    hist0 = jnp.sum(bins == 0, dtype=jnp.int32)
+    thresh = ((npix - hist0).astype(jnp.float32) * per).astype(jnp.int32)
+
+    def cprime(m):
+        return jnp.sum(bins <= m, dtype=jnp.int32) - hist0
+
+    # invariant: cprime(hi) >= thresh (or hi == NBINS-1), cprime(lo-1) <
+    # thresh; 2^9 = 512 > NBINS covers the range
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        ge = cprime(mid) >= thresh
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(
+        0, 9, body, (jnp.int32(0), jnp.int32(NBINS - 1)))
+    return jnp.minimum(lo + 1, NBINS).astype(jnp.int32)
+
+
 def percentile_contrast(grad, per: float):
     """Float path: kcontrast = k / hfactor with hfactor = NBINS/max_contrast.
 
@@ -50,8 +80,7 @@ def percentile_contrast(grad, per: float):
     max_contrast = jnp.maximum(jnp.float32(0.03), jnp.max(grad))
     hfactor = NBINS / max_contrast
     bins = jnp.clip((grad * hfactor).astype(jnp.int32), 0, NBINS - 1)
-    cum = _cumulative_bins(bins)
-    k = _percentile_from_cum(cum, h * w, per)
+    k = _percentile_bisect(bins, h * w, per)
     return k.astype(jnp.float32) / hfactor
 
 
@@ -68,6 +97,5 @@ def percentile_contrast_fixed(grad, per: float):
     hfactor = (NBINS / max_contrast.astype(jnp.float32) * 65536
                + 0.5).astype(jnp.int32)
     bins = jnp.clip((grad * hfactor) >> 16, 0, NBINS - 1)
-    cum = _cumulative_bins(bins)
-    k = _percentile_from_cum(cum, h * w, per)
+    k = _percentile_bisect(bins, h * w, per)
     return k * max_contrast // NBINS
