@@ -109,11 +109,15 @@ def build_extrema_maps(octaves: List[OctaveData], plan: PipelinePlan,
         def up(x, fill):
             if r == 1:
                 return x
-            x = jnp.pad(x[:, :, None, None],
-                        ((0, 0), (0, 0), (0, r - 1), (0, r - 1)),
-                        constant_values=fill)
-            x = jnp.transpose(x, (0, 2, 1, 3)).reshape(h * r, w * r)
-            return x
+            # column then row expansion as stack+reshape (row-major reshape
+            # interleaves the fill blocks; no 4D transpose, which lowered to
+            # a slow layout shuffle)
+            fills = jnp.full_like(x, fill)
+            cols = jnp.stack([x] + [fills] * (r - 1), axis=2)
+            x = cols.reshape(h, w * r)
+            fills_r = jnp.full_like(x, fill)
+            rows = jnp.stack([x] + [fills_r] * (r - 1), axis=1)
+            return rows.reshape(h * r, w * r)
 
         up_resp = up(best, minval)
         take = up_resp > resp_full  # strictly greater: earlier octaves win
@@ -165,9 +169,9 @@ def nms(resp_full, size_full, layer_full, plan: PipelinePlan,
     return (layer_full >= 0) & region & ~suppressed
 
 
-ROW_CAP = 128   # max keypoints kept per image row (NMS survivors are very
-                # sparse; a 1280-wide row with radius >= 1 NMS can't exceed
-                # ~427, and real images stay far below 128)
+ROW_CAP = 64    # max keypoints kept per image row (NMS survivors are very
+                # sparse; real images stay far below 64 per row, and the
+                # count is clamped to what was kept if a row ever overflows)
 
 
 def select_keypoints(mask, resp_full, size_full, layer_full,

@@ -1,0 +1,34 @@
+"""End-to-end visual odometry over a synthetic image sequence.
+
+The synthetic sequence is a fronto-parallel plane under pure translation —
+degenerate for essential-matrix *structure*, but the tracker must still run
+stably: produce finite poses, create keyframes, and keep per-frame matching
+healthy.  Metric trajectory accuracy on genuinely 3D scenes is covered by
+tests/test_odometry.py; this exercises the full image -> features ->
+RANSAC -> pose loop.
+"""
+
+import numpy as np
+import pytest
+
+from akaze_tpu import AkazeConfig
+from akaze_tpu.io import synthetic_sequence
+from akaze_tpu.slam.odometry import Intrinsics, VisualOdometry
+
+
+@pytest.mark.slow
+def test_vo_runs_over_sequence(rng):
+    frames, offsets = synthetic_sequence(rng, n_frames=4, size=(160, 224),
+                                         shift_per_frame=(0.0, 3.0),
+                                         n_blobs=80)
+    intr = Intrinsics(fx=200.0, fy=200.0, cx=112.0, cy=80.0)
+    vo = VisualOdometry(intr, AkazeConfig(max_pts=512, noctaves=2),
+                        min_inliers=15)
+    for f in frames:
+        R, t = vo.process(f.astype(np.float32) / 255.0)
+        assert np.all(np.isfinite(np.asarray(R)))
+        assert np.all(np.isfinite(np.asarray(t)))
+    traj = vo.trajectory()
+    assert traj.shape == (4, 3)
+    assert np.isfinite(traj).all()
+    assert len(vo.keyframes) >= 1
