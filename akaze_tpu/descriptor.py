@@ -373,13 +373,16 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
     p = jnp.clip(kps.layer, 0, pp.L.shape[0] - 1)
     o = jnp.maximum(kps.layer // ms, 0)
     iratio = 1.0 / (1 << o).astype(jnp.float32)
-    # window origin: identical clamping to extract_windows
+    # window origin: x clamps exactly like extract_windows; y uses a
+    # 120-row logical window (radius <= 59 + alignment slack < 8 fits the
+    # kernel's WY = 128).  Sampling positions are absolute, so the origin
+    # choice does not change any sampled value.
     xc = (kps.x * iratio + 0.5).astype(jnp.int32)
     yc = (kps.y * iratio + 0.5).astype(jnp.int32)
     wo = pp.widths[p]
     ho = pp.heights[p]
     x0 = jnp.clip(xc - KW // 2, 0, jnp.maximum(wo - KW, 0))
-    y0 = jnp.clip(yc - KW // 2, 0, jnp.maximum(ho - KW, 0))
+    y0 = jnp.clip(yc - 60, 0, jnp.maximum(ho - 120, 0))
     # orientation center: the reference's int(x+0.5) >> o (window-local)
     ox = (((kps.x + 0.5).astype(jnp.int32) >> o) - x0).astype(jnp.int32)
     oy = (((kps.y + 0.5).astype(jnp.int32) >> o) - y0).astype(jnp.int32)

@@ -41,12 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import descriptor as _d
 
 WSIZE = _d.WSIZE          # 128: logical window (covers max sampling radius)
-# The DMA'd window is larger: HBM slices of a (8, 128)-tiled bf16 memref
-# must start at tile-aligned offsets, so the origin is rounded down to the
-# tile grid and the window extended to keep the full logical 128x128 region
-# in view (y slack < 8, x slack < 128).
-WY = 136                  # WSIZE + 8 rows
-WX = 256                  # WSIZE + 128 cols
+# The DMA'd window covers the logical sampling region plus tile-alignment
+# slack: HBM slices of a (8, 128)-tiled bf16 memref must start at
+# tile-aligned offsets, so the origin is rounded down to the tile grid.
+# The y window is 120 logical rows (sampling radius <= 59 around a center
+# placed at row 60..67) + <8 rows of alignment slack = exactly 128 — an
+# MXU-native contraction size (136 padded to 256 and halved throughput).
+WY = 128                  # 120 logical rows + 8 alignment slack
+WX = 256                  # 128 logical cols + 128 alignment slack
 NPAD = 448                # 441 descriptor taps padded to a lane multiple
 OPAD = 128                # 121 orientation taps padded
 BINS = 48                 # 42 histogram bins padded

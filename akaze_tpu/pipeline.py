@@ -49,13 +49,19 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
         # bf16 windows: halves the window-extraction and one-hot matmul HBM
         # traffic; the one-hot selections stay exact (0/1 weights), only the
         # sampled intensities round.  The fixed path keeps full precision.
-        sdtype = (jnp.bfloat16 if (not fixed and plan.config.bf16_sampling)
+        mode = plan.config.pallas_descriptor
+        use_pallas = (mode == "on" or mode == "interpret"
+                      or (mode == "auto"
+                          and jax.default_backend() == "tpu"))
+        # The fused kernel samples bf16 planes with float-path cell-sum
+        # semantics; on the fixed path this deviates from the reference's
+        # per-sample int truncation (akazed.cu:3779-3780) — like the
+        # reference's own fastakaze, it trades exactness for speed.  Set
+        # pallas_descriptor='off' for bit-faithful fixed descriptors.
+        sdtype = (jnp.bfloat16
+                  if (use_pallas or (not fixed and plan.config.bf16_sampling))
                   else None)
         pp = build_padded_pyramid(octaves, WSIZE, dtype=sdtype)
-        mode = plan.config.pallas_descriptor
-        use_pallas = (not fixed) and (
-            mode == "on" or mode == "interpret"
-            or (mode == "auto" and jax.default_backend() == "tpu"))
         if use_pallas:
             from .descriptor import orient_describe_pallas
             angle, desc = orient_describe_pallas(
