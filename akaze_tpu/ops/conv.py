@@ -112,6 +112,18 @@ def lowpass_fixed(x, var: float, ksz: int):
     return sep_conv2d_fixed(x, gauss_half_kernel_fixed(var, radius))
 
 
+
+def _even_cols(x, off: int, n: int):
+    """x[:, off : off+2n : 2] without a strided slice (XLA lowers lane
+    strides to a ~3 ms relayout at 960x1280; reshape+minor-slice is free)."""
+    return x[:, off:off + 2 * n].reshape(x.shape[0], n, 2)[:, :, 0]
+
+
+def _even_rows(x, off: int, n: int):
+    """x[off : off+2n : 2, :] without a strided slice."""
+    return x[off:off + 2 * n].reshape(n, 2, x.shape[1])[:, 0, :]
+
+
 def down_with_smooth(src):
     """2x decimation plus sigma=1 (radius 2) smooth of the decimated grid.
 
@@ -125,19 +137,19 @@ def down_with_smooth(src):
     k = [jnp.float32(v) for v in gauss_half_kernel(1.0, 2)]
     hs, ws = src.shape
     hd, wd = hs >> 1, ws >> 1
-    dst = src[0:2 * hd:2, 0:2 * wd:2]
+    dst = _even_rows(_even_cols(src, 0, wd), 0, hd)
 
     xp = jnp.pad(src, ((0, 0), (4, 4)), mode="reflect")
     # row filter sampled at even source columns: source col = 2*dix + 2i
-    row = k[0] * xp[:, 4:4 + 2 * wd:2]
+    row = k[0] * _even_cols(xp, 4, wd)
     for i in (1, 2):
-        row = row + k[i] * (xp[:, 4 - 2 * i:4 - 2 * i + 2 * wd:2]
-                            + xp[:, 4 + 2 * i:4 + 2 * i + 2 * wd:2])
+        row = row + k[i] * (_even_cols(xp, 4 - 2 * i, wd)
+                            + _even_cols(xp, 4 + 2 * i, wd))
     rowp = jnp.pad(row, ((4, 4), (0, 0)), mode="reflect")
-    smooth = k[0] * rowp[4:4 + 2 * hd:2, :]
+    smooth = k[0] * _even_rows(rowp, 4, hd)
     for i in (1, 2):
-        smooth = smooth + k[i] * (rowp[4 - 2 * i:4 - 2 * i + 2 * hd:2, :]
-                                  + rowp[4 + 2 * i:4 + 2 * i + 2 * hd:2, :])
+        smooth = smooth + k[i] * (_even_rows(rowp, 4 - 2 * i, hd)
+                                  + _even_rows(rowp, 4 + 2 * i, hd))
     return dst, smooth
 
 
@@ -146,17 +158,17 @@ def down_with_smooth_fixed(src):
     k = [jnp.int32(v) for v in gauss_half_kernel_fixed(1.0, 2)]
     hs, ws = src.shape
     hd, wd = hs >> 1, ws >> 1
-    dst = src[0:2 * hd:2, 0:2 * wd:2]
+    dst = _even_rows(_even_cols(src, 0, wd), 0, hd)
 
     xp = jnp.pad(src, ((0, 0), (4, 4)), mode="reflect")
-    row = k[0] * xp[:, 4:4 + 2 * wd:2]
+    row = k[0] * _even_cols(xp, 4, wd)
     for i in (1, 2):
-        row = row + k[i] * (xp[:, 4 - 2 * i:4 - 2 * i + 2 * wd:2]
-                            + xp[:, 4 + 2 * i:4 + 2 * i + 2 * wd:2])
+        row = row + k[i] * (_even_cols(xp, 4 - 2 * i, wd)
+                            + _even_cols(xp, 4 + 2 * i, wd))
     row = row >> 16
     rowp = jnp.pad(row, ((4, 4), (0, 0)), mode="reflect")
-    smooth = k[0] * rowp[4:4 + 2 * hd:2, :]
+    smooth = k[0] * _even_rows(rowp, 4, hd)
     for i in (1, 2):
-        smooth = smooth + k[i] * (rowp[4 - 2 * i:4 - 2 * i + 2 * hd:2, :]
-                                  + rowp[4 + 2 * i:4 + 2 * i + 2 * hd:2, :])
+        smooth = smooth + k[i] * (_even_rows(rowp, 4 - 2 * i, hd)
+                                  + _even_rows(rowp, 4 + 2 * i, hd))
     return dst, smooth >> 16
