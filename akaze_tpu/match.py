@@ -60,22 +60,47 @@ def hamming_distance_matrix(words1, words2):
 
 
 def match(words1, valid1, words2, valid2, x2, y2,
-          max_dist: int = 96) -> Matches:
+          max_dist: int = 96, use_pallas: str = "auto") -> Matches:
     """1-NN Hamming match with strict-uniqueness acceptance.
 
     Args:
       words1/valid1: query descriptors [N1, 16] uint32 and validity [N1].
       words2/valid2/x2/y2: train descriptors, validity and coordinates.
       max_dist: acceptance threshold (MAX_DIST, akazed.cu:11).
+      use_pallas: 'auto' (TPU backend), 'on', 'interpret', or 'off' — the
+        Pallas running-top-2 kernel streams query blocks against a
+        VMEM-resident train set instead of materialising the [N1, N2]
+        distance matrix in HBM.
     """
-    d = hamming_distance_matrix(words1, words2)
-    d = d + jnp.where(valid2[None, :], 0.0, 1.0e6)
-    # min + masked second-min as plain reductions (lax.top_k over the full
-    # [N1, N2] matrix is a per-row sort and dominates the runtime)
-    best = jnp.min(d, axis=1)
-    bidx = jnp.argmin(d, axis=1).astype(jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    second = jnp.min(jnp.where(cols == bidx[:, None], 1.0e9, d), axis=1)
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas == "on" or use_pallas == "interpret" or (
+            use_pallas == "auto" and on_tpu):
+        from .ops.pallas_match import hamming_top2
+        n1, n2 = words1.shape[0], words2.shape[0]
+        p1 = (-n1) % 128
+        p2 = (-n2) % 128
+        s1 = _signed_bits(words1)
+        # invalid/padded train rows become zero -> constant pseudo-distance
+        # 243 >= max_dist, same acceptance as the +1e6 masking below
+        s2 = _signed_bits(words2) * valid2[:, None].astype(jnp.bfloat16)
+        if p1:
+            s1 = jnp.pad(s1, ((0, p1), (0, 0)))
+        if p2:
+            s2 = jnp.pad(s2, ((0, p2), (0, 0)))
+        best, second, bidx = hamming_top2(
+            s1, s2, interpret=(use_pallas == "interpret"))
+        best = best[:n1]
+        second = second[:n1]
+        bidx = jnp.clip(bidx[:n1], 0, n2 - 1)
+    else:
+        d = hamming_distance_matrix(words1, words2)
+        d = d + jnp.where(valid2[None, :], 0.0, 1.0e6)
+        # min + masked second-min as plain reductions (lax.top_k over the
+        # full [N1, N2] matrix is a per-row sort and dominates the runtime)
+        best = jnp.min(d, axis=1)
+        bidx = jnp.argmin(d, axis=1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        second = jnp.min(jnp.where(cols == bidx[:, None], 1.0e9, d), axis=1)
     accept = (best < second) & (best < max_dist) & valid1
     return Matches(
         index=jnp.where(accept, bidx, -1),

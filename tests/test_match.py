@@ -73,3 +73,35 @@ def test_match_ignores_invalid_train():
     m = match(wq, jnp.ones(1, bool), wt, valid_t,
               jnp.arange(3.0), jnp.arange(3.0), max_dist=486)
     assert int(m.index[0]) != 0
+
+
+class TestPallasMatcher:
+    def test_interpret_matches_xla(self, rng):
+        from akaze_tpu.match import match
+        import jax.numpy as jnp
+        n1, n2 = 200, 300   # deliberately not multiples of 128
+        w1 = rng.integers(0, 2**32, (n1, 16), dtype=np.uint64).astype(
+            np.uint32)
+        w2 = rng.integers(0, 2**32, (n2, 16), dtype=np.uint64).astype(
+            np.uint32)
+        w1[:, 15] &= np.uint32((1 << 6) - 1)
+        w2[:, 15] &= np.uint32((1 << 6) - 1)
+        # plant near-duplicates so some matches pass max_dist, including a
+        # tie pair that must be rejected by the uniqueness rule
+        w2[10] = w1[3]
+        w2[20] = w1[7]
+        w2[21] = w1[7]      # exact tie -> best == second -> reject
+        v1 = np.ones(n1, bool); v1[5] = False
+        v2 = np.ones(n2, bool); v2[10] = True; v2[30] = False
+        x2 = rng.uniform(0, 100, n2).astype(np.float32)
+        y2 = rng.uniform(0, 100, n2).astype(np.float32)
+        args = (jnp.asarray(w1), jnp.asarray(v1), jnp.asarray(w2),
+                jnp.asarray(v2), jnp.asarray(x2), jnp.asarray(y2), 96)
+        ref = match(*args, use_pallas="off")
+        pal = match(*args, use_pallas="interpret")
+        np.testing.assert_array_equal(np.asarray(ref.index),
+                                      np.asarray(pal.index))
+        np.testing.assert_array_equal(np.asarray(ref.distance),
+                                      np.asarray(pal.distance))
+        assert int(ref.index[3]) == 10
+        assert int(ref.index[7]) == -1  # tie rejected
