@@ -169,9 +169,11 @@ def nms(resp_full, size_full, layer_full, plan: PipelinePlan,
     return (layer_full >= 0) & region & ~suppressed
 
 
-ROW_CAP = 64    # max keypoints kept per image row (NMS survivors are very
-                # sparse; real images stay far below 64 per row, and the
-                # count is clamped to what was kept if a row ever overflows)
+ROW_CAP = 32    # max keypoints kept per image row (top-k cost is linear in
+                # the cap; NMS survivors are very sparse — the stock pair
+                # averages ~4/row — and the count is clamped to what was
+                # kept if a row ever overflows, like the reference's silent
+                # max_pts clamp, akaze.cpp:451)
 
 
 def select_keypoints(mask, resp_full, size_full, layer_full,
