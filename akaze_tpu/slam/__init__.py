@@ -10,7 +10,10 @@ parallel/sharded_ba.py).
 """
 
 from .posegraph import PoseGraph, optimize_pose_graph
+from .system import SlamSystem, SlamConfig
+from .odometry import VisualOdometry, Intrinsics
 from .ba import BAProblem, bundle_adjust, ba_residuals
 
 __all__ = ["PoseGraph", "optimize_pose_graph", "BAProblem", "bundle_adjust",
-           "ba_residuals"]
+           "ba_residuals", "SlamSystem", "SlamConfig", "VisualOdometry",
+           "Intrinsics"]

