@@ -406,7 +406,7 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
     pyramid = jnp.pad(pyramid, ((0, 0), (0, 0), (0, hp2 - hp),
                                 (0, wp2 - wp)))
 
-    kb = 16
+    kb = 24
     rem = (-n) % kb
     if rem:
         iparams = jnp.pad(iparams, ((0, rem), (0, 0)))
