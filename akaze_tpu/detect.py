@@ -117,7 +117,13 @@ def build_extrema_maps(octaves: List[OctaveData], plan: PipelinePlan,
             x = cols.reshape(h, w * r)
             fills_r = jnp.full_like(x, fill)
             rows = jnp.stack([x] + [fills_r] * (r - 1), axis=1)
-            return rows.reshape(h * r, w * r)
+            x = rows.reshape(h * r, w * r)
+            # odd full-res sizes: h*r < h0 by (h0 mod r); the trailing
+            # rows/cols can hold no octave-o winner, so pad with fill
+            if h * r != h0 or w * r != w0:
+                x = jnp.pad(x, ((0, h0 - h * r), (0, w0 - w * r)),
+                            constant_values=fill)
+            return x
 
         up_resp = up(best, minval)
         take = up_resp > resp_full  # strictly greater: earlier octaves win

@@ -56,7 +56,7 @@ def main():
         return run
 
     timings = {}
-    for n in (4, 14):
+    for n in (4, 24):
         run = make_run(n)
         float(run(l_img, r_img))  # compile + warm
         best = float("inf")
@@ -65,7 +65,7 @@ def main():
             float(run(l_img, r_img))
             best = min(best, time.time() - t)
         timings[n] = best
-    per_iter_ms = (timings[14] - timings[4]) / 10 * 1000
+    per_iter_ms = (timings[24] - timings[4]) / 20 * 1000
 
     print(json.dumps({
         "metric": "detect+describe+match, stock pair (960x1280), per iteration",

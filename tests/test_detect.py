@@ -110,3 +110,21 @@ def test_refine_recovers_subpixel_peak():
     out = refine_keypoints(kps, flat, plan)
     assert abs(float(out.x[0]) - 40.6) < 1e-2
     assert abs(float(out.y[0]) - 50.3) < 1e-2
+
+
+def test_odd_image_sizes_multi_octave(test_image):
+    """Odd H/W with multiple octaves: the upsample merge must pad the
+    expansion back to full resolution (a 201x333 image once crashed with a
+    (200,332) vs (201,333) broadcast error)."""
+    import jax.numpy as jnp
+    from akaze_tpu import AkazeConfig
+    from akaze_tpu.plan import build_plan
+    from akaze_tpu.pipeline import detect_and_compute
+
+    img = test_image[:191, :255]  # odd, still >= 80 after one halving
+    cfg = AkazeConfig(max_pts=256, noctaves=2)
+    plan = build_plan(*img.shape, cfg)
+    f = detect_and_compute(jnp.asarray(img), plan)
+    assert int(f.count) >= 0
+    import numpy as np
+    assert np.isfinite(np.asarray(f.x)).all()
