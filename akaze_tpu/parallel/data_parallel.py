@@ -9,6 +9,7 @@ pairwise matching step all-gathers train descriptors over ICI
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -20,9 +21,21 @@ from ..plan import PipelinePlan
 from ..match import match
 
 
+def _xla_only_plan(plan: PipelinePlan) -> PipelinePlan:
+    """Plan with the Pallas kernels disabled: vmapping the descriptor
+    kernel multiplies its VMEM scratch past the 16 MB scoped limit, so the
+    batched path uses the (bit-identical) XLA formulation."""
+    if plan.config.pallas_descriptor == "off":
+        return plan
+    return dataclasses.replace(
+        plan, config=dataclasses.replace(plan.config,
+                                         pallas_descriptor="off"))
+
+
 def batched_detect_and_compute(images, plan: PipelinePlan,
                                fixed: bool = False) -> Features:
     """vmap of the single-frame pipeline over a leading batch axis."""
+    plan = _xla_only_plan(plan)
     return jax.vmap(lambda im: detect_and_compute(im, plan, fixed))(images)
 
 
@@ -41,7 +54,7 @@ def dp_pipeline_step(images_a, images_b, plan: PipelinePlan, mesh: Mesh,
         fb = batched_detect_and_compute(b, plan, fixed)
         m = jax.vmap(lambda f1, f2: match(
             f1.words, f1.valid, f2.words, f2.valid, f2.x, f2.y,
-            plan.config.max_dist))(fa, fb)
+            plan.config.max_dist, use_pallas="off"))(fa, fb)
         return fa, fb, m
 
     a = jax.device_put(images_a, sharding)
