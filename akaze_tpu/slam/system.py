@@ -124,6 +124,35 @@ class SlamSystem:
             kfs[k] = kfs[k]._replace(R=R1[k], t=t1[k])
         return float(cost)
 
+    def local_bundle_adjust(self, window: int = 5, max_pts: int = 512,
+                            iters: int = 6):
+        """Refine the last ``window`` keyframes + triangulated landmarks
+        with the sparse Schur-complement BA (gauge: first keyframe of the
+        window fixed).  Returns the final cost, or None if the window has
+        too few keyframes / tracks."""
+        from .odometry import build_local_ba
+        from .ba import bundle_adjust
+
+        kfs = self.vo.keyframes
+        if len(kfs) < 2:
+            return None
+        lo = max(0, len(kfs) - window)
+        feats = [k.features for k in kfs[lo:]]
+        poses = [(k.R, k.t) for k in kfs[lo:]]
+        try:
+            Rs, ts, X0, prob = build_local_ba(feats, poses, self.intr,
+                                              max_pts=max_pts)
+        except ValueError:
+            return None
+        R1, t1, X1, cost = bundle_adjust(
+            Rs, ts, X0, prob, n_cams=Rs.shape[0], n_pts=X0.shape[0],
+            iters=iters)
+        R1 = np.asarray(R1)
+        t1 = np.asarray(t1)
+        for o, k in enumerate(range(lo, len(kfs))):
+            kfs[k] = kfs[k]._replace(R=R1[o], t=t1[o])
+        return float(cost)
+
     def keyframe_trajectory(self) -> np.ndarray:
         """[K, 3] keyframe camera centers."""
         out = [-(np.asarray(k.R).T @ np.asarray(k.t))

@@ -62,3 +62,24 @@ def test_slam_system_runs_and_optimizes(rng):
         after = np.stack([k.R for k in sys_.vo.keyframes])
         np.testing.assert_allclose(before, after)
         assert meta["n_edges"] == len(sys_.edges)
+
+
+@pytest.mark.slow
+def test_slam_local_ba(rng):
+    """Local BA over the keyframe window runs and returns a finite cost
+    (or None when tracks are insufficient) without corrupting poses."""
+    from akaze_tpu.slam import SlamSystem, SlamConfig
+    frames, _ = synthetic_sequence(rng, n_frames=5, size=(160, 224),
+                                   shift_per_frame=(0.0, 5.0), n_blobs=90)
+    intr = Intrinsics(fx=200.0, fy=200.0, cx=112.0, cy=80.0)
+    sys_ = SlamSystem(intr, AkazeConfig(max_pts=512, noctaves=2),
+                      SlamConfig(optimize_every=100),
+                      min_inliers=10, keyframe_inlier_ratio=0.9)
+    for f in frames:
+        sys_.process(f.astype(np.float32) / 255.0)
+    cost = sys_.local_bundle_adjust(window=4, max_pts=256, iters=3)
+    if cost is not None:
+        assert np.isfinite(cost)
+    for k in sys_.vo.keyframes:
+        assert np.isfinite(np.asarray(k.R)).all()
+        assert np.isfinite(np.asarray(k.t)).all()
