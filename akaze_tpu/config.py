@@ -49,9 +49,13 @@ class AkazeConfig:
     tau_max: float = 0.25           # max FED step size (reference: akaze.cpp:268)
     max_dist: int = 96              # Hamming acceptance threshold
                                     # (MAX_DIST, akazed.cu:11)
-    # 'unique' replicates gHammingMatch (akazed.cu:2207-2231): accept only a
-    # strictly unique 1-NN.  'ratio' replicates gMatch (akazed.cu:2106):
-    # accept when 1st-best < 2nd-best.
+    # Acceptance rule label for API parity with the reference's two
+    # matchers.  Both collapse to the same deterministic test here:
+    # gHammingMatch's strictly-unique minimum (akazed.cu:2207-2231) and
+    # gMatch's 1st < 2nd (akazed.cu:2106) are each "best < second_best and
+    # best < max_dist" once lane-aliasing artifacts are removed — see
+    # match.py's module docstring.  The field is accepted for config
+    # compatibility; both values select the identical matcher.
     match_rule: str = "unique"
     # sample per-keypoint windows in bfloat16 on the float path (the one-hot
     # gathers stay exact; only the sampled intensities round — match quality
