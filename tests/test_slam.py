@@ -196,3 +196,42 @@ class TestShardedBA:
                                    rtol=1e-3, atol=1e-7)
         np.testing.assert_allclose(np.asarray(X1), np.asarray(X2),
                                    rtol=1e-2, atol=1e-3)
+
+
+class TestShardedPGO:
+    def test_sharded_matches_single_device(self, rng):
+        """Edge-sharded PGO over the 8-device mesh equals single-device."""
+        from akaze_tpu.parallel import (make_mesh,
+                                        sharded_optimize_pose_graph,
+                                        pad_edges)
+        n = 10
+        R_true, t_true = make_trajectory(rng, n)
+        edges_i = list(range(n - 1)) + [0, 2]
+        edges_j = list(range(1, n)) + [n - 1, 7]
+        R_ij, t_ij = [], []
+        for i, j in zip(edges_i, edges_j):
+            Rr, tr = relative(R_true[i], t_true[i], R_true[j], t_true[j])
+            R_ij.append(np.asarray(Rr))
+            t_ij.append(np.asarray(tr))
+        graph = PoseGraph(
+            i=jnp.asarray(edges_i, jnp.int32),
+            j=jnp.asarray(edges_j, jnp.int32),
+            R_ij=jnp.asarray(np.stack(R_ij)),
+            t_ij=jnp.asarray(np.stack(t_ij)),
+            weight=jnp.ones(len(edges_i), jnp.float32))
+        noise = rng.standard_normal((n, 6)).astype(np.float32) * 0.04
+        noise[0] = 0
+        from akaze_tpu.geometry import se3_exp, se3_compose
+        dR, dt = se3_exp(jnp.asarray(noise))
+        R0, t0 = se3_compose(jnp.asarray(R_true), jnp.asarray(t_true),
+                             dR, dt)
+
+        mesh = make_mesh(8)
+        gp = pad_edges(graph, 8)
+        R1, t1, c1 = optimize_pose_graph(R0, t0, gp, iters=8)
+        R2, t2, c2 = sharded_optimize_pose_graph(R0, t0, gp, mesh, iters=8)
+        assert float(c2) < 1e-6
+        np.testing.assert_allclose(float(c1), float(c2), rtol=1e-2,
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2),
+                                   atol=1e-3)
