@@ -19,7 +19,9 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the suite is compile-dominated on the 1-CPU
 # test machine; caching compiled programs across runs/processes cuts repeat
 # wall time by a large factor
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
