@@ -101,9 +101,8 @@ class Akaze:
         key = (height, width, describe)
         if key not in self._fns:
             plan = self.plan_for(height, width)
-            self._fns[key] = jax.jit(partial(
-                detect_and_compute, plan=plan, fixed=self.fixed,
-                describe=describe))
+            self._fns[key] = partial(_jit_detect_and_compute, plan=plan,
+                                     fixed=self.fixed, describe=describe)
         return self._fns[key]
 
     def detect_and_compute(self, image, describe: bool = True) -> Features:
@@ -132,6 +131,15 @@ class Akaze:
 @partial(jax.jit, static_argnums=(6,))
 def _jit_match(w1, v1, w2, v2, x2, y2, max_dist):
     return match(w1, v1, w2, v2, x2, y2, max_dist)
+
+
+# module-level jit entry: plans are frozen (hashable) dataclasses, so every
+# Akaze instance with the same (shape, config) shares one compiled program
+# (per-instance jax.jit wrappers were recompiling identical pipelines,
+# which dominated the CPU test suite's wall time)
+@partial(jax.jit, static_argnames=("plan", "fixed", "describe"))
+def _jit_detect_and_compute(image, plan, fixed, describe):
+    return detect_and_compute(image, plan, fixed, describe)
 
 
 def features_to_numpy(f: Features) -> dict:

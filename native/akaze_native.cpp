@@ -176,8 +176,7 @@ struct Loader {
   std::atomic<int> next_index{0};
   std::atomic<bool> stop{false};
   std::vector<std::thread> workers;
-  int out_of_order;  // if 0, frames are delivered strictly in order
-  int deliver_next = 0;
+  int deliver_next = 0;  // frames are delivered strictly in order
 };
 
 static void loader_worker(Loader* L) {
@@ -199,8 +198,15 @@ static void loader_worker(Loader* L) {
       fr.w = fr.h = 0;
     }
     std::unique_lock<std::mutex> lk(L->mu);
-    L->cv_room.wait(lk, [L] {
-      return L->queue.size() < L->capacity || L->stop.load();
+    // admission by frame index, not queue size: with more workers than
+    // capacity, a size-based gate can fill the queue with out-of-order
+    // frames and starve the one the consumer needs (deadlock).  Only
+    // frames inside the in-order delivery window may enter; the window
+    // always admits the frame the consumer is waiting for.
+    int idx_local = fr.index;
+    L->cv_room.wait(lk, [L, idx_local] {
+      return idx_local < L->deliver_next + (int)L->capacity
+             || L->stop.load();
     });
     if (L->stop.load()) return;
     L->queue.push_back(std::move(fr));
@@ -241,8 +247,8 @@ int loader_next(void* handle, uint8_t* out, int cap, int* w, int* h) {
       if (it->index == L->deliver_next) {
         Frame fr = std::move(*it);
         L->queue.erase(it);
-        L->cv_room.notify_all();
         L->deliver_next++;
+        L->cv_room.notify_all();
         lk.unlock();
         if (fr.w == 0) return -2;
         if (fr.w * fr.h > cap) return -3;
