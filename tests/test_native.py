@@ -98,3 +98,41 @@ class TestNativeMatch:
             dist_n[accepted], np.asarray(m.distance)[accepted].astype(
                 np.int32))
         assert idx_n[3] == 10 and idx_n[7] == 20
+
+
+@needs_native
+class TestFrameLoaderDeadlock:
+    def test_more_threads_than_capacity(self, tmp_path, rng):
+        """Regression: with workers > queue capacity, the old size-based
+        admission could fill the queue with out-of-order frames and
+        deadlock the in-order consumer."""
+        paths = []
+        imgs = []
+        for i in range(16):
+            img = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+            p = str(tmp_path / f"f{i}.pgm")
+            with open(p, "wb") as f:
+                f.write(b"P5\n11 9\n255\n" + img.tobytes())
+            paths.append(p)
+            imgs.append(img)
+        # worst case: capacity 1, many workers
+        for _ in range(3):
+            loader = FrameLoader(paths, n_threads=4, prefetch=1)
+            got = list(loader)
+            loader.close()
+            assert len(got) == 16
+            for a, b in zip(got, imgs):
+                np.testing.assert_array_equal(a, b)
+
+    def test_early_close_joins_workers(self, tmp_path, rng):
+        """Destroying the loader mid-stream must not hang."""
+        paths = []
+        for i in range(8):
+            img = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+            p = str(tmp_path / f"g{i}.pgm")
+            with open(p, "wb") as f:
+                f.write(b"P5\n11 9\n255\n" + img.tobytes())
+            paths.append(p)
+        loader = FrameLoader(paths, n_threads=3, prefetch=2)
+        next(loader)   # consume one frame only
+        loader.close()  # must join all workers promptly
