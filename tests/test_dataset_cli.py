@@ -86,3 +86,20 @@ class TestCli:
         assert rec["matches"] > 3
         assert os.path.exists(str(tmp_path / "akaze_keypoints.png"))
         assert os.path.exists(str(tmp_path / "akaze_matches.png"))
+
+
+class TestDebugPlanes:
+    def test_debug_planes_and_dump(self, tmp_path, test_image):
+        from akaze_tpu import AkazeConfig
+        from akaze_tpu.plan import build_plan
+        from akaze_tpu.debug import debug_planes, dump_planes
+        cfg = AkazeConfig(max_pts=128, noctaves=2)
+        plan = build_plan(*test_image.shape, cfg)
+        planes = debug_planes(test_image, plan)
+        assert "L0_0" in planes and "det1_3" in planes
+        assert planes["response_map"].shape == test_image.shape
+        assert planes["nms_mask"].dtype == bool
+        dump_planes({"L0_0": planes["L0_0"],
+                     "nms_mask": planes["nms_mask"].astype(np.float32)},
+                    str(tmp_path))
+        assert (tmp_path / "L0_0.png").exists()
