@@ -71,3 +71,40 @@ def test_max_pts_cap():
     f = det.detect_and_compute(img)
     assert int(f.count) <= 32
     assert np.asarray(f.valid).sum() == int(f.count)
+
+
+class TestExports:
+    def test_features_to_numpy_trims_to_count(self, test_image):
+        import jax.numpy as jnp
+        from akaze_tpu import AkazeConfig
+        from akaze_tpu.plan import build_plan
+        from akaze_tpu.pipeline import detect_and_compute, features_to_numpy
+        cfg = AkazeConfig(max_pts=256, noctaves=2)
+        plan = build_plan(*test_image.shape, cfg)
+        f = detect_and_compute(jnp.asarray(test_image), plan)
+        d = features_to_numpy(f)
+        n = d["count"]
+        assert 0 < n <= 256
+        assert d["x"].shape == (n,)
+        assert d["words"].shape == (n, 16)
+        assert d["valid"].all()
+
+    def test_descriptors_to_bytes_layout(self, rng):
+        from akaze_tpu.descriptor import descriptors_to_bytes
+        words = rng.integers(0, 2**32, (5, 16), dtype=np.uint64).astype(
+            np.uint32)
+        b = descriptors_to_bytes(words)
+        assert b.shape == (5, 61)
+        # byte 0 holds bits 0-7 of word 0 (little-endian)
+        assert b[0, 0] == (int(words[0, 0]) & 0xFF)
+        assert b[0, 4] == (int(words[0, 1]) & 0xFF)
+
+    def test_config_validation(self):
+        import pytest as _pytest
+        from akaze_tpu import AkazeConfig
+        with _pytest.raises(ValueError):
+            AkazeConfig(max_scale=9)
+        with _pytest.raises(ValueError):
+            AkazeConfig(noctaves=0)
+        with _pytest.raises(ValueError):
+            AkazeConfig(match_rule="bogus")
