@@ -155,3 +155,57 @@ class TestRansac:
         inl = np.asarray(res.inliers)
         assert not inl[50:].any()
         assert inl[:50].sum() > 35
+
+
+class TestHomography:
+    def test_exact_recovery(self, rng):
+        from akaze_tpu.geometry.homography import (homography_from_points,
+                                                   homography_transfer_error)
+        H_true = np.asarray([[1.1, 0.05, 3.0], [-0.04, 0.95, -2.0],
+                             [1e-4, -2e-4, 1.0]])
+        x1 = rng.uniform(0, 100, (40, 2))
+        h = np.concatenate([x1, np.ones((40, 1))], 1) @ H_true.T
+        x2 = h[:, :2] / h[:, 2:3]
+        H = homography_from_points(jnp.asarray(x1, jnp.float32),
+                                   jnp.asarray(x2, jnp.float32))
+        err = np.asarray(homography_transfer_error(
+            H, jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32)))
+        assert np.median(err) < 1e-3  # squared px
+
+    def test_ransac_with_outliers(self, rng):
+        from akaze_tpu.geometry.homography import ransac_homography
+        H_true = np.asarray([[0.9, 0.1, 5.0], [-0.1, 1.05, 2.0],
+                             [2e-4, 1e-4, 1.0]])
+        n = 150
+        x1 = rng.uniform(0, 200, (n, 2))
+        h = np.concatenate([x1, np.ones((n, 1))], 1) @ H_true.T
+        x2 = h[:, :2] / h[:, 2:3]
+        x2 += rng.standard_normal((n, 2)) * 0.3
+        out = rng.choice(n, 50, replace=False)
+        x2[out] = rng.uniform(0, 200, (50, 2))
+        res = ransac_homography(jax.random.PRNGKey(1),
+                                jnp.asarray(x1, jnp.float32),
+                                jnp.asarray(x2, jnp.float32),
+                                jnp.ones(n, bool), threshold=4.0,
+                                num_hyps=256)
+        inl = np.asarray(res.inliers)
+        assert int(res.num_inliers) > 85
+        assert inl[out].sum() < 5  # planted outliers rejected
+
+
+class TestPnP:
+    def test_dlt_pnp_recovers_pose(self, rng):
+        from akaze_tpu.geometry.homography import pnp_dlt
+        X, words = None, None
+        Xw = rng.uniform([-2, -2, 4], [2, 2, 10], (30, 3)).astype(np.float32)
+        R_true = random_rotation(rng)
+        t_true = np.asarray([0.3, -0.2, 0.5], np.float32)
+        # ensure points are in front of the camera
+        Xc = Xw @ R_true.T + t_true
+        if (Xc[:, 2] <= 0.1).any():
+            t_true = t_true + np.asarray([0, 0, 12], np.float32)
+            Xc = Xw @ R_true.T + t_true
+        u = Xc[:, :2] / Xc[:, 2:3]
+        R, t = pnp_dlt(jnp.asarray(Xw), jnp.asarray(u, jnp.float32))
+        np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-2)
