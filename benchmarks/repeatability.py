@@ -107,10 +107,32 @@ def evaluate_pair(det, img_a, H, eps: float = 2.5):
     cx_, cy_ = px[acc], py[acc]
     correct = int((((mx - cx_) ** 2 + (my - cy_) ** 2) < eps * eps).sum())
 
+    # estimate H back from the raw matches (exercises the RANSAC
+    # homography end-to-end) and compare against the ground truth by the
+    # mean corner transfer error
+    import jax
+    import jax.numpy as jnp
+    from akaze_tpu.geometry import ransac_homography
+    x1m = jnp.asarray(np.stack([np.asarray(fa.x), np.asarray(fa.y)], -1))
+    x2m = jnp.asarray(np.stack([np.asarray(m.match_x),
+                                np.asarray(m.match_y)], -1))
+    putative = jnp.asarray(np.asarray(m.index) >= 0)
+    res = ransac_homography(jax.random.PRNGKey(0), x1m, x2m, putative,
+                            threshold=4.0, num_hyps=256)
+    Hh = np.asarray(res.H)
+    Hh = Hh / Hh[2, 2]
+    corners = np.asarray([[0, 0], [w - 1, 0], [0, h - 1],
+                          [w - 1, h - 1]], np.float64)
+    gx, gy = apply_h(H, corners[:, 0], corners[:, 1])
+    ex, ey = apply_h(Hh, corners[:, 0], corners[:, 1])
+    h_err = float(np.mean(np.hypot(gx - ex, gy - ey)))
+
     return {"n_a": na, "n_b": nb,
             "repeatability": repeated / denom,
             "matching_score": correct / denom,
-            "n_matches": int(acc.sum()), "n_correct": correct}
+            "n_matches": int(acc.sum()), "n_correct": correct,
+            "h_inliers": int(res.num_inliers),
+            "h_corner_err_px": round(h_err, 3)}
 
 
 def main():
@@ -134,7 +156,8 @@ def main():
         print(f"{name:16s} rep={r['repeatability']:.3f} "
               f"score={r['matching_score']:.3f} "
               f"({r['n_correct']}/{r['n_matches']} correct, "
-              f"kps {r['n_a']}/{r['n_b']})")
+              f"kps {r['n_a']}/{r['n_b']}, "
+              f"H: {r['h_inliers']} inl, {r['h_corner_err_px']} px)")
     mean_rep = float(np.mean([r["repeatability"] for r in results.values()]))
     mean_ms = float(np.mean([r["matching_score"] for r in results.values()]))
     print(json.dumps({"metric": "homography repeatability / matching score",
