@@ -49,14 +49,12 @@ class AkazeConfig:
     tau_max: float = 0.25           # max FED step size (reference: akaze.cpp:268)
     max_dist: int = 96              # Hamming acceptance threshold
                                     # (MAX_DIST, akazed.cu:11)
-    # Acceptance rule label for API parity with the reference's two
-    # matchers.  Both collapse to the same deterministic test here:
-    # gHammingMatch's strictly-unique minimum (akazed.cu:2207-2231) and
-    # gMatch's 1st < 2nd (akazed.cu:2106) are each "best < second_best and
-    # best < max_dist" once lane-aliasing artifacts are removed — see
-    # match.py's module docstring.  The field is accepted for config
-    # compatibility; both values select the identical matcher.
-    match_rule: str = "unique"
+    # NOTE: there is deliberately no "match rule" knob.  The reference's two
+    # matchers — gHammingMatch's strictly-unique minimum (akazed.cu:2207-2231)
+    # and gMatch's 1st < 2nd (akazed.cu:2106) — both collapse to
+    # "best < second_best and best < max_dist" once lane-aliasing artifacts
+    # are removed (see match.py's module docstring), so one matcher serves
+    # both.
     # sample per-keypoint windows in bfloat16 on the float path (the one-hot
     # gathers stay exact; only the sampled intensities round — match quality
     # is unchanged at the acceptance bar of SURVEY.md §7(d) while HBM
@@ -80,8 +78,10 @@ class AkazeConfig:
             raise ValueError("max_scale must be in [1, 5]")
         if self.noctaves < 1:
             raise ValueError("noctaves must be >= 1")
-        if self.match_rule not in ("unique", "ratio"):
-            raise ValueError("match_rule must be 'unique' or 'ratio'")
+        if self.pallas_descriptor not in ("auto", "on", "interpret", "off"):
+            raise ValueError(
+                "pallas_descriptor must be 'auto', 'on', 'interpret' or "
+                "'off'")
 
 
 DESCRIPTOR_BITS = 486     # 3 channels x (C(4,2) + C(9,2) + C(16,2)) comparisons

@@ -469,7 +469,7 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   const_spec((OPAD, 1)),
                   const_spec((BINS, BINS)),
                   const_spec((NPAD, 1)),

@@ -1,0 +1,57 @@
+"""Timing utilities that survive this environment's TPU relay quirks.
+
+Two relay behaviors break naive benchmarking here:
+  * executions whose outputs are never fetched can be dropped entirely
+    (``block_until_ready`` returns without forcing work);
+  * every eager op / program dispatch pays a large (~100ms+) round-trip.
+
+The honest protocol (the package's analogue of the reference's CUDA-event
+timers, cuda_utils.h safeCall/timer pattern): run the function N times
+*inside one jitted program* with a serial data dependence, fetch the scalar
+result, and difference two values of N to cancel dispatch overhead.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def scan_time(fn, *args, n1: int = 2, n2: int = 12, trials: int = 1):
+    """Per-iteration seconds of ``fn(*args) -> scalar`` measured in-graph.
+
+    ``fn`` must return a scalar that depends on the work to be timed; its
+    first argument is perturbed by the carried scalar to serialise
+    iterations.
+    """
+    def make(n):
+        @jax.jit
+        def run(*a):
+            def body(c, _):
+                # dynamic (value-zero) perturbation defeats loop-invariant
+                # code motion without changing the computed values
+                first = a[0] + (c * 1e-30).astype(a[0].dtype)
+                return c + fn(first, *a[1:]).astype(jnp.float32) * 1e-30, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+        return run
+
+    results = []
+    for _ in range(trials):
+        ts = []
+        for n in (n1, n2):
+            run = make(n)
+            float(run(*args))  # compile + warm
+            t = time.time()
+            float(run(*args))
+            ts.append(time.time() - t)
+        results.append((ts[1] - ts[0]) / (n2 - n1))
+    return min(results)
+
+
+def report(name, fn, *args, **kw):
+    dt = scan_time(fn, *args, **kw)
+    print(f"{name}: {dt * 1000:.2f} ms")
+    return dt

@@ -129,6 +129,9 @@ class VisualOdometry:
             self.keyframes.append(Keyframe(self._frame_idx, feats,
                                            np.asarray(R), np.asarray(t)))
             self._kf_inliers0 = None
+            # the next depth median will be measured against a *new*
+            # keyframe baseline; a ratio across the gap would be garbage
+            self._last_depth_med = None
             self._frame_idx += 1
             return R, t
 
@@ -158,6 +161,10 @@ class VisualOdometry:
             self._scale = scale
             self._last_depth_med = None
         else:
+            # commit scale alongside the rolling depth median so the
+            # telescoped product stays anchored at the keyframe epoch
+            # (scale_k = s_kf * med_0 / med_k, not med_{k-1}/med_k)
+            self._scale = scale
             self._last_depth_med = depth_med
         self._frame_idx += 1
         return self.poses[-1]
@@ -183,12 +190,16 @@ def build_local_ba(kf_feats: List[Features], kf_poses, intr: Intrinsics,
     assert c >= 2
     fx, fy, cx, cy = intr.fx, intr.fy, intr.cx, intr.cy
 
-    # pairwise consecutive matches
+    # pairwise consecutive matches (matches_fn injectable for testing:
+    # takes (f1, f2), returns an [N] int index array, -1 = unmatched)
+    if matches_fn is None:
+        def matches_fn(f1, f2):
+            return match(f1.words, f1.valid, f2.words, f2.valid,
+                         f2.x, f2.y).index
     pair_matches = []
     for a in range(c - 1):
-        f1, f2 = kf_feats[a], kf_feats[a + 1]
-        m = match(f1.words, f1.valid, f2.words, f2.valid, f2.x, f2.y)
-        pair_matches.append(np.asarray(m.index))
+        pair_matches.append(
+            np.asarray(matches_fn(kf_feats[a], kf_feats[a + 1])))
 
     # track stitching: track id = (kf0 slot) propagated forward
     npts = int(np.asarray(kf_feats[0].valid).sum())
@@ -202,11 +213,16 @@ def build_local_ba(kf_feats: List[Features], kf_poses, intr: Intrinsics,
         idx = pair_matches[a]
         for s, tid in list(track_of[a].items()):
             j = int(idx[s])
-            if j >= 0:
-                track_of[a + 1][j] = tid
-                tracks.append  # no-op to appease linters
-                if len(tracks[tid]) and tracks[tid][-1][0] == a:
-                    tracks[tid].append((a + 1, j))
+            if j < 0:
+                continue
+            if j in track_of[a + 1]:
+                # two tracks matched into the same next-keyframe slot:
+                # first-wins — the later claim is dropped so one image
+                # measurement never constrains two landmarks
+                continue
+            track_of[a + 1][j] = tid
+            if len(tracks[tid]) and tracks[tid][-1][0] == a:
+                tracks[tid].append((a + 1, j))
 
     # keep tracks with >= 2 observations
     cams, pts, uvs = [], [], []

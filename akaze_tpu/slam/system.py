@@ -39,6 +39,31 @@ class SlamConfig:
     optimize_every: int = 4        # run PGO every N new keyframes
 
 
+def loop_edge_measurement(R_new, t_new, R_old, t_old, R_rel, t_dir):
+    """Express a two-view loop-closure result in the pose-graph edge frame.
+
+    The two-view solver returns (R_rel, t_dir) mapping new-cam points to
+    old-cam: T_old = T_rel * T_new, with t_dir unit-norm (monocular).  The
+    pose-graph residual (posegraph._edge_residuals) predicts
+    T_ij = T_i^-1 * T_j, so for edge (i=new, j=old) the measurement is the
+    conjugate M = T_new^-1 * T_rel * T_new.  The translation is scaled so
+    s * t_dir matches t_rel ~= t_old - R_rel t_new from the current pose
+    estimates (the only scale information available to a monocular system).
+
+    Returns (R_ij [3,3], t_ij [3]) float32 numpy arrays.
+    """
+    R_rel = np.asarray(R_rel, np.float64)
+    t_dir = np.asarray(t_dir, np.float64)
+    Rn = np.asarray(R_new, np.float64)
+    t_new = np.asarray(t_new, np.float64)
+    t_old = np.asarray(t_old, np.float64)
+    scale = float(np.linalg.norm(t_old - R_rel @ t_new))
+    t_rel = t_dir * scale
+    R_ij = (Rn.T @ R_rel @ Rn).astype(np.float32)
+    t_ij = (Rn.T @ (R_rel @ t_new + t_rel - t_new)).astype(np.float32)
+    return R_ij, t_ij
+
+
 class SlamSystem:
     """Incremental SLAM over a frame stream."""
 
@@ -77,14 +102,9 @@ class SlamSystem:
                 self.vo.threshold)
             if int(res.num_inliers) < self.cfg.loop_min_inliers:
                 continue
-            # res maps new-cam points -> old-cam: T_old = T_rel * T_new
-            # => relative (new -> old) edge measured up to monocular scale;
-            # reuse the odometric distance for the translation magnitude
-            R_rel = np.asarray(res.R)
-            t_dir = np.asarray(res.t)
-            R_no, t_no = self._relative(new.R, new.t, old.R, old.t)
-            scale = float(np.linalg.norm(t_no))
-            self.edges.append((new_idx, old_idx, R_rel, t_dir * scale,
+            R_ij, t_ij = loop_edge_measurement(
+                new.R, new.t, old.R, old.t, res.R, res.t)
+            self.edges.append((new_idx, old_idx, R_ij, t_ij,
                                self.cfg.loop_weight))
 
     def process(self, image) -> tuple:

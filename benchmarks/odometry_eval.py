@@ -20,11 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# fallback when akaze_tpu is not pip-installed: add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def simulate(rng, n_frames: int, n_pts: int = 400):
@@ -88,7 +91,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from akaze_tpu.geometry import se3_inverse, se3_compose
     from akaze_tpu.io import ate_rmse
     from akaze_tpu.slam.odometry import Intrinsics, _two_view
     from akaze_tpu.slam import PoseGraph, optimize_pose_graph
@@ -127,7 +129,12 @@ def main():
         t_rel = np.asarray(res.t) * scale
         R_est.append(R_rel @ R_est[-1])
         t_est.append(R_rel @ t_est[-1] + t_rel)
-        edges.append((k - 1, k, R_rel, t_rel, 1.0))
+        # edge convention is T_ij = T_{k-1}^-1 T_k; the chained estimate
+        # embodies exactly the two-view measurement, so the relative of the
+        # chain IS the measurement in the edge frame (zero initial residual)
+        Ra, ta = R_est[-2], t_est[-2]
+        edges.append((k - 1, k, Ra.T @ R_est[-1],
+                      Ra.T @ (t_est[-1] - ta), 1.0))
 
     # skip-2 edges strengthen the graph (simulated loop constraints)
     for k in range(2, args.frames):
@@ -138,13 +145,18 @@ def main():
         z = np.asarray(z1)[inl]
         if not (z > 0).any():
             continue
-        # scale from the chained estimate
-        Ri, ti = se3_inverse(jnp.asarray(R_est[k - 2]),
-                             jnp.asarray(t_est[k - 2]))
-        Rr, tr = se3_compose(jnp.asarray(R_est[k]), jnp.asarray(t_est[k]),
-                             Ri, ti)
-        s = float(np.linalg.norm(np.asarray(tr)))
-        edges.append((k - 2, k, np.asarray(res.R), np.asarray(res.t) * s,
+        # res: T_k = T_rel T_{k-2}; the edge expects T_{k-2}^-1 T_k, so
+        # conjugate by T_{k-2} and scale the unit translation so it matches
+        # t_rel ~= t_k - R_rel t_{k-2} from the chained estimates
+        R_rel = np.asarray(res.R, np.float64)
+        Ra = np.asarray(R_est[k - 2], np.float64)
+        ta = np.asarray(t_est[k - 2], np.float64)
+        tb = np.asarray(t_est[k], np.float64)
+        s = float(np.linalg.norm(tb - R_rel @ ta))
+        t_rel = np.asarray(res.t, np.float64) * s
+        edges.append((k - 2, k,
+                      (Ra.T @ R_rel @ Ra).astype(np.float32),
+                      (Ra.T @ (R_rel @ ta + t_rel - ta)).astype(np.float32),
                       0.5))
 
     g = PoseGraph(

@@ -17,11 +17,14 @@ Run: python benchmarks/repeatability.py  (TPU or CPU)
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# fallback when akaze_tpu is not pip-installed: add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def warp_image(img: np.ndarray, H: np.ndarray) -> np.ndarray:

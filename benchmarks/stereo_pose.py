@@ -13,12 +13,15 @@ Run: python benchmarks/stereo_pose.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# fallback when akaze_tpu is not pip-installed: add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():

@@ -115,3 +115,36 @@ class TestLocalBA:
             iters=10, cg_iters=40)
         assert float(c1) < c_pert * 1e-3
         assert float(c1) <= c0 * 1.5 + 1e-9
+
+    def test_match_collision_first_wins(self, rng):
+        """When two slots of keyframe a match the same slot j of keyframe
+        a+1, only the first claim keeps the observation — one image
+        measurement must never constrain two landmarks."""
+        X, words = synth_features(rng, n_pts=40)
+        poses, feats = [], []
+        for k in range(2):
+            R = np.eye(3, dtype=np.float32)
+            t = np.asarray([-0.6 * k, 0.0, 0.0], np.float32)
+            poses.append((R, t))
+            feats.append(project_features(X, words, R, t, n_pad=64))
+
+        # identity matching except slots 0 AND 1 both claim slot 0
+        def collide(f1, f2):
+            idx = np.arange(f1.x.shape[0], dtype=np.int32)
+            idx[~np.asarray(f1.valid)] = -1
+            idx[1] = 0
+            return idx
+
+        Rs, ts, X0, prob = build_local_ba(feats, poses, INTR, max_pts=64,
+                                          matches_fn=collide)
+        cam = np.asarray(prob.cam)
+        pt = np.asarray(prob.pt)
+        # each (camera, slot) observation appears for at most one landmark:
+        # keyframe 1 slot 0 is observed once (by the first-winning track)
+        uv = np.asarray(prob.uv)
+        obs1 = uv[cam == 1]
+        uniq = np.unique(np.round(obs1, 6), axis=0)
+        assert len(uniq) == len(obs1)
+        # slot 1's track ends at keyframe 0: landmark count == valid pts
+        n_two_obs = len(np.unique(pt[cam == 1]))
+        assert n_two_obs == len(obs1)

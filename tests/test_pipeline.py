@@ -107,4 +107,4 @@ class TestExports:
         with _pytest.raises(ValueError):
             AkazeConfig(noctaves=0)
         with _pytest.raises(ValueError):
-            AkazeConfig(match_rule="bogus")
+            AkazeConfig(pallas_descriptor="bogus")

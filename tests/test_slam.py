@@ -97,6 +97,45 @@ class TestPoseGraph:
         assert float(c) < 1e-10  # already optimal; poisoned edge ignored
 
 
+class TestLoopEdgeMeasurement:
+    def test_consistent_rotated_poses_zero_residual(self, rng):
+        """A loop-closure measurement built from a two-view result that is
+        perfectly consistent with rotated poses must have zero residual in
+        the pose-graph edge convention (regression: the raw two-view
+        relative T_old*T_new^-1 is in the wrong frame)."""
+        from akaze_tpu.slam.system import loop_edge_measurement
+        from akaze_tpu.slam.posegraph import _edge_residuals
+
+        # both poses away from identity so conjugation actually matters
+        R_all, t_all = make_trajectory(rng, 4)
+        R_old, t_old = R_all[1], t_all[1]
+        R_new, t_new = R_all[3], t_all[3]
+        # exact two-view result: T_old = T_rel * T_new
+        R_rel = R_old @ R_new.T
+        t_rel = t_old - R_rel @ t_new
+        t_dir = t_rel / np.linalg.norm(t_rel)
+
+        R_ij, t_ij = loop_edge_measurement(R_new, t_new, R_old, t_old,
+                                           R_rel, t_dir)
+        g = PoseGraph(i=jnp.asarray([1], jnp.int32),
+                      j=jnp.asarray([0], jnp.int32),
+                      R_ij=jnp.asarray(R_ij)[None],
+                      t_ij=jnp.asarray(t_ij)[None],
+                      weight=jnp.ones(1, jnp.float32))
+        r = np.asarray(_edge_residuals(
+            jnp.asarray(np.stack([R_old, R_new])),
+            jnp.asarray(np.stack([t_old, t_new])), g))
+        assert np.abs(r).max() < 1e-5
+
+        # the naive (wrong-frame) measurement is NOT consistent here
+        g_bad = g._replace(R_ij=jnp.asarray(R_rel, jnp.float32)[None],
+                           t_ij=jnp.asarray(t_rel, jnp.float32)[None])
+        r_bad = np.asarray(_edge_residuals(
+            jnp.asarray(np.stack([R_old, R_new])),
+            jnp.asarray(np.stack([t_old, t_new])), g_bad))
+        assert np.abs(r_bad).max() > 1e-2
+
+
 def make_ba_problem(rng, n_cams=6, n_pts=80, noise=0.0):
     """Synthetic BA problem: cameras on an arc looking at a point cloud."""
     X = rng.uniform([-2, -2, 6], [2, 2, 12], (n_pts, 3)).astype(np.float32)
