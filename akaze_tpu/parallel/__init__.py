@@ -1,9 +1,18 @@
-from .mesh import make_mesh
+from .mesh import make_mesh, normalize_axes, axis_size
 from .data_parallel import batched_detect_and_compute, dp_pipeline_step
 from .sharded_match import sharded_match
-from .sharded_ba import sharded_bundle_adjust, pad_observations
+from .sharded_ba import (sharded_bundle_adjust, pad_observations,
+                         partition_landmarks, gather_points, scatter_points,
+                         landmark_sharded_bundle_adjust, LandmarkPartition)
 from .sharded_pgo import sharded_optimize_pose_graph, pad_edges
+from .distributed import (initialize_distributed, make_host_chip_mesh,
+                          hier_psum, HOST_AXIS, CHIP_AXIS, HIER_AXES)
 
-__all__ = ["make_mesh", "batched_detect_and_compute", "dp_pipeline_step",
+__all__ = ["make_mesh", "normalize_axes", "axis_size",
+           "batched_detect_and_compute", "dp_pipeline_step",
            "sharded_match", "sharded_bundle_adjust", "pad_observations",
-           "sharded_optimize_pose_graph", "pad_edges"]
+           "partition_landmarks", "gather_points", "scatter_points",
+           "landmark_sharded_bundle_adjust", "LandmarkPartition",
+           "sharded_optimize_pose_graph", "pad_edges",
+           "initialize_distributed", "make_host_chip_mesh", "hier_psum",
+           "HOST_AXIS", "CHIP_AXIS", "HIER_AXES"]

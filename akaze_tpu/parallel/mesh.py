@@ -15,6 +15,21 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def normalize_axes(axis) -> tuple:
+    """An axis spec (name or sequence of names) as a tuple of names.
+
+    Every sharded component takes ``axis`` as either one mesh axis ("data")
+    or a hierarchy ordered innermost-first (("chip", "host")): psums over
+    the tuple reduce over ICI first, then DCN.
+    """
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def axis_size(mesh: Mesh, axis) -> int:
+    """Total number of shards over one axis or an axis tuple."""
+    return int(np.prod([mesh.shape[a] for a in normalize_axes(axis)]))
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",)) -> Mesh:
     """A 1D (or reshaped N-D) mesh over the first ``n_devices`` devices."""

@@ -17,15 +17,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..match import Matches, match
+from .mesh import normalize_axes
 
 
 def sharded_match(words1, valid1, words2, valid2, x2, y2, mesh: Mesh,
-                  max_dist: int = 96, axis: str = "data") -> Matches:
+                  max_dist: int = 96, axis="data") -> Matches:
     """1-NN Hamming matching with queries sharded over ``axis``.
 
     words2/valid2/x2/y2 may be sharded too — they are all-gathered inside,
-    riding the ICI ring.
+    riding the ICI ring.  ``axis`` may be one axis name or an
+    innermost-first hierarchy like ``("chip", "host")``.
     """
+    axis = normalize_axes(axis)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),

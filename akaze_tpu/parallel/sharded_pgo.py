@@ -18,6 +18,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..slam.posegraph import (PoseGraph, _edge_residuals, _retract)
+from .mesh import axis_size, normalize_axes
 
 
 def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
@@ -38,15 +39,17 @@ def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
 def sharded_optimize_pose_graph(R, t, graph: PoseGraph, mesh: Mesh,
                                 iters: int = 10, cg_iters: int = 50,
                                 damping: float = 1e-6,
-                                axis: str = "data", fixed_mask=None):
+                                axis="data", fixed_mask=None):
     """Gauss-Newton PGO with the edge list sharded over ``mesh[axis]``.
 
     Args mirror ``slam.optimize_pose_graph``; ``graph`` must be padded to a
-    multiple of the mesh axis size (see ``pad_edges``).  Returns
-    (R, t, final_cost), fully replicated.
+    multiple of the mesh axis size (see ``pad_edges``).  ``axis`` may be one
+    axis name or an innermost-first hierarchy like ``("chip", "host")``.
+    Returns (R, t, final_cost), fully replicated.
     """
     n = R.shape[0]
-    n_dev = mesh.shape[axis]
+    axis = normalize_axes(axis)
+    n_dev = axis_size(mesh, axis)
     assert graph.i.shape[0] % n_dev == 0, "pad edges first"
     if fixed_mask is None:
         fixed_mask = jnp.zeros(n, bool).at[0].set(True)
@@ -80,7 +83,7 @@ def sharded_optimize_pose_graph(R, t, graph: PoseGraph, mesh: Mesh,
 
             (grad,) = vjp(r0)
             grad = jax.lax.psum(grad, axis)
-            x0 = jax.lax.pcast(jnp.zeros_like(grad), (axis,), to="varying")
+            x0 = jax.lax.pcast(jnp.zeros_like(grad), axis, to="varying")
             dx, _ = jax.scipy.sparse.linalg.cg(matvec, -grad, x0=x0,
                                                maxiter=cg_iters)
             dx = dx * free
@@ -91,7 +94,7 @@ def sharded_optimize_pose_graph(R, t, graph: PoseGraph, mesh: Mesh,
             return (jnp.where(better, R2, R),
                     jnp.where(better, t2, t)), c_new
 
-        state = jax.lax.pcast((R, t), (axis,), to="varying")
+        state = jax.lax.pcast((R, t), axis, to="varying")
         (R, t), _ = jax.lax.scan(gn_step, state, None, length=iters)
         return R, t, cost_local(R, t, g)
 

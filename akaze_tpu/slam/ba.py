@@ -96,27 +96,34 @@ def _obs_jacobians(R, t, X, prob: BAProblem):
 
 
 def _schur_solve(r, Jc, Jp, prob: BAProblem, n_cams: int, n_pts: int,
-                 lam, cg_iters: int, psum_axis=None):
+                 lam, cg_iters: int, psum_axis=None, local_points=False):
     """One damped GN step via matrix-free Schur CG.
 
     Returns (dc [C, 6], dp [P, 3]).  When ``psum_axis`` is given, the
-    observation-indexed arrays are assumed sharded and camera/point-side
-    reductions are followed by a psum over that mesh axis (points must then
-    be sharded consistently with observations; see parallel/sharded_ba.py).
+    observation-indexed arrays are assumed sharded and camera-side
+    reductions are followed by a psum over that mesh axis.  Point-side
+    reductions are psum'd too unless ``local_points``: with landmarks
+    partitioned so each point's observations live on one shard
+    (parallel/sharded_ba.py:partition_landmarks), V/bp/W^T x are exact
+    locally and per-CG-iteration communication shrinks to one [C, 6] psum,
+    independent of the landmark count.
     """
-    def allreduce(v):
+    def cam_reduce(v):
         return jax.lax.psum(v, psum_axis) if psum_axis else v
+
+    def pt_reduce(v):
+        return v if local_points else cam_reduce(v)
 
     cam, pt = prob.cam, prob.pt
 
     # block diagonals and gradient
-    U = allreduce(jax.ops.segment_sum(
+    U = cam_reduce(jax.ops.segment_sum(
         jnp.einsum("mki,mkj->mij", Jc, Jc), cam, n_cams))   # [C, 6, 6]
-    V = allreduce(jax.ops.segment_sum(
+    V = pt_reduce(jax.ops.segment_sum(
         jnp.einsum("mki,mkj->mij", Jp, Jp), pt, n_pts))      # [P, 3, 3]
-    bc = allreduce(jax.ops.segment_sum(
+    bc = cam_reduce(jax.ops.segment_sum(
         jnp.einsum("mki,mk->mi", Jc, r), cam, n_cams))       # [C, 6]
-    bp = allreduce(jax.ops.segment_sum(
+    bp = pt_reduce(jax.ops.segment_sum(
         jnp.einsum("mki,mk->mi", Jp, r), pt, n_pts))         # [P, 3]
 
     Vd = V + lam * jnp.eye(3, dtype=V.dtype)
@@ -126,13 +133,13 @@ def _schur_solve(r, Jc, Jp, prob: BAProblem, n_cams: int, n_pts: int,
         """W^T x: [C, 6] -> [P, 3] via observations."""
         xc = x[cam]                                          # [M, 6]
         contrib = jnp.einsum("mki,mkj,mj->mi", Jp, Jc, xc)
-        return allreduce(jax.ops.segment_sum(contrib, pt, n_pts))
+        return pt_reduce(jax.ops.segment_sum(contrib, pt, n_pts))
 
     def W_y(y):
         """W y: [P, 3] -> [C, 6] via observations."""
         yp = y[pt]
         contrib = jnp.einsum("mki,mkj,mj->mi", Jc, Jp, yp)
-        return allreduce(jax.ops.segment_sum(contrib, cam, n_cams))
+        return cam_reduce(jax.ops.segment_sum(contrib, cam, n_cams))
 
     def S_matvec(x):
         Ux = jnp.einsum("cij,cj->ci", U, x) + lam * x
@@ -145,7 +152,8 @@ def _schur_solve(r, Jc, Jp, prob: BAProblem, n_cams: int, n_pts: int,
     if psum_axis:
         # under shard_map the psum outputs are 'varying' over the mesh axis;
         # CG's carry must start with the same vma type
-        x0 = jax.lax.pcast(x0, (psum_axis,), to="varying")
+        axes = (psum_axis,) if isinstance(psum_axis, str) else psum_axis
+        x0 = jax.lax.pcast(x0, axes, to="varying")
     dc, _ = jax.scipy.sparse.linalg.cg(S_matvec, rhs, x0=x0,
                                        maxiter=cg_iters)
     dp = jnp.einsum("pij,pj->pi", Vinv, -bp - W_T_x(dc))

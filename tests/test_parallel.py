@@ -44,6 +44,141 @@ def test_dp_pipeline_matches_single_device(mesh8, test_image):
     assert agree > 0.99
 
 
+@pytest.fixture(scope="module")
+def mesh_hc():
+    """A (host=2, chip=4) hierarchical mesh on the virtual 8-device CPU
+    backend — same program shapes as a real 2-host x 4-chip deployment."""
+    from akaze_tpu.parallel import make_host_chip_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_host_chip_mesh(num_hosts=2, chips_per_host=4)
+
+
+class TestLandmarkShardedBA:
+    def _problem(self, rng):
+        from test_slam import make_ba_problem
+        return make_ba_problem(rng, n_cams=5, n_pts=48)
+
+    def test_parity_with_single_device(self, rng, mesh8):
+        from akaze_tpu.parallel import (partition_landmarks, gather_points,
+                                        scatter_points,
+                                        landmark_sharded_bundle_adjust)
+        from akaze_tpu.slam import bundle_adjust
+        from akaze_tpu.slam.ba import ba_cost
+        R, t, X, prob = self._problem(rng)
+        n_cams, n_pts = R.shape[0], X.shape[0]
+        X0 = X + jax.random.normal(jax.random.PRNGKey(3), X.shape) * 0.04
+
+        part = partition_landmarks(prob, n_pts, 8)
+        Xg = gather_points(part, X0)
+        R1, t1, X1, c1 = bundle_adjust(R, t, X0, prob, n_cams=n_cams,
+                                       n_pts=n_pts, iters=6, cg_iters=25)
+        R2, t2, X2g, c2 = landmark_sharded_bundle_adjust(
+            R, t, Xg, part, mesh8, iters=6, cg_iters=25)
+        X2 = scatter_points(part, X2g)
+        assert float(c2) < float(ba_cost(R, t, X0, prob)) * 1e-3
+        np.testing.assert_allclose(float(c1), float(c2), rtol=1e-3,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(X1), X2, rtol=1e-2,
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2),
+                                   atol=1e-4)
+
+    def test_partition_is_exhaustive_and_local(self, rng):
+        from akaze_tpu.parallel import partition_landmarks
+        R, t, X, prob = self._problem(rng)
+        n_pts = X.shape[0]
+        part = partition_landmarks(prob, n_pts, 8)
+        # every original point appears exactly once
+        perm = part.point_perm[part.point_perm >= 0]
+        assert sorted(perm.tolist()) == list(range(n_pts))
+        # every live observation kept, weights preserved
+        assert float(np.asarray(part.prob.w).sum()) == float(
+            np.asarray(prob.w).sum())
+        # local point ids stay inside their shard
+        pt = np.asarray(part.prob.pt)
+        w = np.asarray(part.prob.w)
+        assert pt[w > 0].max() < part.pts_per_shard
+
+    def test_no_landmark_sized_collectives(self, rng, mesh8):
+        """The per-iteration communication must be independent of P: no
+        all-reduce in the compiled HLO may carry a landmark-sized operand."""
+        import re
+        from functools import partial as fpartial
+        from akaze_tpu.parallel import (partition_landmarks, gather_points,
+                                        landmark_sharded_bundle_adjust)
+        R, t, X, prob = self._problem(rng)
+        n_pts = X.shape[0]
+        part = partition_landmarks(prob, n_pts, 8)
+        Xg = gather_points(part, X + 0.01)
+        fn = fpartial(landmark_sharded_bundle_adjust, part=part, mesh=mesh8,
+                      iters=2, cg_iters=5)
+        hlo = jax.jit(lambda R, t, Xg: fn(R, t, Xg)).lower(
+            R, t, Xg).compile().as_text()
+        n_cam_elems = R.shape[0] * 36  # [C, 6, 6] is the largest camera term
+        for m in re.finditer(r"all-reduce[^\n]*", hlo):
+            line = m.group(0)
+            for shape in re.findall(r"f32\[([\d,]*)\]", line):
+                elems = int(np.prod([int(s) for s in
+                                     shape.split(",") if s] or [1]))
+                assert elems <= n_cam_elems, f"P-sized all-reduce: {line}"
+
+    def test_hierarchical_host_chip_mesh(self, rng, mesh_hc):
+        """The same landmark-sharded BA runs over ("chip", "host") with
+        hierarchical psums and matches the flat-mesh result."""
+        from akaze_tpu.parallel import (partition_landmarks, gather_points,
+                                        scatter_points,
+                                        landmark_sharded_bundle_adjust)
+        from akaze_tpu.slam import bundle_adjust
+        R, t, X, prob = self._problem(rng)
+        n_cams, n_pts = R.shape[0], X.shape[0]
+        X0 = X + jax.random.normal(jax.random.PRNGKey(4), X.shape) * 0.03
+        part = partition_landmarks(prob, n_pts, 8)
+        Xg = gather_points(part, X0)
+        R1, t1, X1, c1 = bundle_adjust(R, t, X0, prob, n_cams=n_cams,
+                                       n_pts=n_pts, iters=5, cg_iters=20)
+        R2, t2, X2g, c2 = landmark_sharded_bundle_adjust(
+            R, t, Xg, part, mesh_hc, iters=5, cg_iters=20,
+            axis=("chip", "host"))
+        np.testing.assert_allclose(float(c1), float(c2), rtol=1e-3,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(X1),
+                                   scatter_points(part, X2g),
+                                   rtol=1e-2, atol=1e-3)
+
+
+def test_sharded_pgo_hierarchical_mesh(rng, mesh_hc):
+    from test_slam import make_trajectory, relative
+    from akaze_tpu.slam import PoseGraph, optimize_pose_graph
+    from akaze_tpu.parallel import sharded_optimize_pose_graph, pad_edges
+    n = 8
+    R_true, t_true = make_trajectory(rng, n)
+    edges_i = list(range(n - 1)) + [0]
+    edges_j = list(range(1, n)) + [n - 1]
+    R_ij, t_ij = [], []
+    for i, j in zip(edges_i, edges_j):
+        Rr, tr = relative(R_true[i], t_true[i], R_true[j], t_true[j])
+        R_ij.append(np.asarray(Rr))
+        t_ij.append(np.asarray(tr))
+    graph = PoseGraph(
+        i=jnp.asarray(edges_i, jnp.int32),
+        j=jnp.asarray(edges_j, jnp.int32),
+        R_ij=jnp.asarray(np.stack(R_ij)),
+        t_ij=jnp.asarray(np.stack(t_ij)),
+        weight=jnp.ones(len(edges_i), jnp.float32))
+    noise = rng.standard_normal((n, 6)).astype(np.float32) * 0.03
+    noise[0] = 0
+    from akaze_tpu.geometry import se3_exp, se3_compose
+    dR, dt = se3_exp(jnp.asarray(noise))
+    R0, t0 = se3_compose(jnp.asarray(R_true), jnp.asarray(t_true), dR, dt)
+    gp = pad_edges(graph, 8)
+    R1, t1, c1 = optimize_pose_graph(R0, t0, gp, iters=6)
+    R2, t2, c2 = sharded_optimize_pose_graph(R0, t0, gp, mesh_hc, iters=6,
+                                             axis=("chip", "host"))
+    assert float(c2) < 1e-6
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-3)
+
+
 def test_sharded_match_equals_local(mesh8):
     rng = np.random.default_rng(0)
     n = 256
