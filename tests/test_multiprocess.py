@@ -1,0 +1,68 @@
+"""Multi-process distributed-runtime parity: two OS processes, 4 virtual
+CPU devices each, joined by ``initialize_distributed`` into one 8-device
+(host=2, chip=4) mesh, must reproduce the single-process 8-device result of
+landmark-sharded BA (SURVEY.md §5's multi-host north star, exercised
+cluster-free).
+
+The SPMD program is identical in both runs; only the runtime differs
+(in-process XLA collectives vs gloo across processes), so agreement here
+validates the whole multi-host stack: bootstrap, global mesh construction,
+global array creation from per-process shards, hierarchical psums over
+("chip", "host"), and cross-process replication of results.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+@pytest.mark.slow
+def test_two_process_landmark_ba_matches_single_process(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    # single-process reference on this process's own (2, 4) host/chip mesh
+    sys.path.insert(0, HERE)
+    from mp_problem import make_problem
+    from akaze_tpu.parallel import (make_host_chip_mesh, partition_landmarks,
+                                    gather_points,
+                                    landmark_sharded_bundle_adjust)
+    R, t, X0, prob = make_problem()
+    part = partition_landmarks(prob, X0.shape[0], 8)
+    Xg = gather_points(part, X0)
+    mesh = make_host_chip_mesh(num_hosts=2, chips_per_host=4)
+    R1, t1, X1, c1 = landmark_sharded_bundle_adjust(
+        R, t, Xg, part, mesh, iters=4, cg_iters=12, axis=("chip", "host"))
+
+    # two-process run: each worker owns 4 CPU devices
+    out = str(tmp_path / "mp_result.npz")
+    port = 21000 + os.getpid() % 2000
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_TEST_CACHE"] = os.path.join(HERE, "..", ".jax_cache")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "mp_worker.py"), str(pid),
+         str(port), out], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in (0, 1)]
+    outputs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        outputs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+
+    got = np.load(out)
+    np.testing.assert_allclose(got["R"], np.asarray(R1), atol=1e-5)
+    np.testing.assert_allclose(got["t"], np.asarray(t1), atol=1e-5)
+    np.testing.assert_allclose(got["X"], np.asarray(X1), atol=1e-4)
+    np.testing.assert_allclose(got["cost"], float(c1), rtol=1e-4,
+                               atol=1e-8)
