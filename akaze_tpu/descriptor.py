@@ -356,6 +356,33 @@ def pack_bits(bits):
 # fused Pallas path (float pipeline, TPU)
 # --------------------------------------------------------------------------
 
+# Scale bands for the fused kernel: keypoints are grouped by their integer
+# sigma step and each band runs a kernel sized to that band's maximum
+# sampling radius (iscale * 10 * sqrt(2) + 1.5), mirroring the reference's
+# per-keypoint window sizing (winsize scaling at akazed.cu:1899) without
+# dynamic shapes.  Entries: (max_iscale, wy, wx, logical_y, logical_x); the
+# DMA'd window is logical extent + tile-alignment slack (8 rows, 128 cols).
+#
+# MEASURED (v5e, stock pair, benchmarks/band_profile.py): multi-band is a
+# NET LOSS here — 5.32 ms (72/104/128 bands) vs 4.89 ms single-band.  Two
+# reasons: (a) the DMA lane extent must be whole 128-lane tiles with a
+# tile-aligned origin, so the x window cannot shrink below logical_x + 127
+# rounded to 256 — only the y extent bands, and the kernel's cost is
+# dominated by lane-dimension VPU work + per-grid-step overhead, not by
+# DMA rows; (b) each extra band kernel re-walks the full slot grid (dead
+# steps cost ~0.5 us each).  The default is therefore ONE band; the
+# multi-band machinery stays available (and tested) for hardware where the
+# tradeoff differs.
+_SCALE_BANDS = (
+    (10 ** 9, 128, 256, 120, 128),  # radius <= 59 (scale 4, WSIZE design)
+)
+_SCALE_BANDS_3 = (
+    (2, 72, 256, 64, 64),      # radius <= 2*14.15 + 1  ~= 30
+    (3, 104, 256, 96, 96),     # radius <= 3*14.15 + 1  ~= 44
+    (10 ** 9, 128, 256, 120, 128),
+)
+
+
 def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
                            plan: PipelinePlan, interpret: bool = False):
     """Orientation + MLDB descriptor via the fused Pallas kernel
@@ -363,9 +390,14 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
     compute_orientation + compute_descriptors on the float path up to
     bf16 window sampling.
 
+    Keypoints are compacted into scale bands (valid-prefix per band via one
+    argsort + rolls) and each band runs a window-sized kernel; sampling
+    positions are absolute, so the band geometry does not change any
+    sampled value — only how much dead window each keypoint pays for.
+
     Returns (angle [N], Descriptors).
     """
-    from .ops.pallas_describe import orient_describe, WSIZE as KW
+    from .ops.pallas_describe import orient_describe
 
     cfg = plan.config
     ms = cfg.max_scale
@@ -373,50 +405,117 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
     p = jnp.clip(kps.layer, 0, pp.L.shape[0] - 1)
     o = jnp.maximum(kps.layer // ms, 0)
     iratio = 1.0 / (1 << o).astype(jnp.float32)
-    # window origin: x clamps exactly like extract_windows; y uses a
-    # 120-row logical window (radius <= 59 + alignment slack < 8 fits the
-    # kernel's WY = 128).  Sampling positions are absolute, so the origin
-    # choice does not change any sampled value.
     xc = (kps.x * iratio + 0.5).astype(jnp.int32)
     yc = (kps.y * iratio + 0.5).astype(jnp.int32)
     wo = pp.widths[p]
     ho = pp.heights[p]
-    x0 = jnp.clip(xc - KW // 2, 0, jnp.maximum(wo - KW, 0))
-    y0 = jnp.clip(yc - 60, 0, jnp.maximum(ho - 120, 0))
-    # orientation center: the reference's int(x+0.5) >> o (window-local)
-    ox = (((kps.x + 0.5).astype(jnp.int32) >> o) - x0).astype(jnp.int32)
-    oy = (((kps.y + 0.5).astype(jnp.int32) >> o) - y0).astype(jnp.int32)
+    xi = (kps.x + 0.5).astype(jnp.int32) >> o
+    yi = (kps.y + 0.5).astype(jnp.int32) >> o
     iscale = (kps.size + 0.5).astype(jnp.int32)
-    xf = kps.x * iratio - x0.astype(jnp.float32)
-    yf = kps.y * iratio - y0.astype(jnp.float32)
-
     zero_i = jnp.zeros_like(p)
-    vflag = kps.valid.astype(jnp.int32)
-    iparams = jnp.stack([p, y0, x0, oy, ox, iscale, vflag, zero_i], axis=1)
-    fparams = jnp.stack([yf, xf, iscale.astype(jnp.float32),
-                         jnp.zeros_like(xf)], axis=1)
-    pyramid = jnp.stack([pp.L, pp.lx, pp.ly]).astype(jnp.bfloat16)
-    # the kernel DMAs tile-aligned [WY, WX] windows whose rounded-down
-    # origins can overhang by up to (8, 128); pad the planes so every DMA
-    # stays in bounds (and meets the minimum window extent)
-    from .ops.pallas_describe import WY, WX
-    hp, wp = pyramid.shape[2], pyramid.shape[3]
-    hp2 = max(hp + 8, WY)
-    wp2 = max(wp + 128, WX)
-    pyramid = jnp.pad(pyramid, ((0, 0), (0, 0), (0, hp2 - hp),
-                                (0, wp2 - wp)))
+    zero_f = jnp.zeros_like(kps.x)
+    isc_f = iscale.astype(jnp.float32)
+
+    def band_params(ly: int, lx: int):
+        """iparams/fparams with the window origin centred for a (ly, lx)
+        logical window (x clamps exactly like extract_windows; sampling
+        positions are absolute so the origin choice is value-neutral)."""
+        x0 = jnp.clip(xc - lx // 2, 0, jnp.maximum(wo - lx, 0))
+        y0 = jnp.clip(yc - ly // 2, 0, jnp.maximum(ho - ly, 0))
+        ip = jnp.stack([p, y0, x0, yi - y0, xi - x0, iscale, zero_i,
+                        zero_i], axis=1)
+        fp = jnp.stack([kps.y * iratio - y0.astype(jnp.float32),
+                        kps.x * iratio - x0.astype(jnp.float32),
+                        isc_f, zero_f], axis=1)
+        return ip, fp
 
     kb = 24
     rem = (-n) % kb
-    if rem:
-        iparams = jnp.pad(iparams, ((0, rem), (0, 0)))
-        fparams = jnp.pad(fparams, ((0, rem), (0, 0)))
-    angle, acc = orient_describe(iparams, fparams, pyramid,
-                                 patsize=cfg.descriptor_pattern_size, kb=kb,
-                                 interpret=interpret)
-    angle = angle[:n]
-    acc = acc[:n]
+    n_bands = len(_SCALE_BANDS)
 
+    if n_bands == 1:
+        # fast path: no grouping machinery (measured ~0.4 ms of sort/
+        # roll/recombine at N=10k that a single band does not need)
+        _, wy, wx, ly, lx = _SCALE_BANDS[0]
+        ip, fp = band_params(ly, lx)
+        ip = ip.at[:, 6].set(kps.valid.astype(jnp.int32))
+        if rem:
+            ip = jnp.pad(ip, ((0, rem), (0, 0)))
+            fp = jnp.pad(fp, ((0, rem), (0, 0)))
+        pyramid = _padded_band_pyramid(pp, wy, wx)
+        angle, acc = orient_describe(
+            ip, fp, pyramid, patsize=cfg.descriptor_pattern_size,
+            kb=kb, interpret=interpret, wy=wy, wx=wx)
+        angle = angle[:n]
+        acc = acc[:n]
+        return _finish_descriptors(angle, acc)
+
+    # group keypoints by band with a stable counting sort (cumsum ranks —
+    # no argsort); invalid slots group last (band id past every real band)
+    band = jnp.full(n, n_bands, jnp.int32)
+    for b in range(n_bands - 1, -1, -1):
+        band = jnp.where(iscale <= _SCALE_BANDS[b][0], b, band)
+    band = jnp.where(kps.valid, band, n_bands)
+    onehots = (band[:, None] == jnp.arange(n_bands + 1)[None, :]
+               ).astype(jnp.int32)                        # [n, B+1]
+    rank = (jnp.take_along_axis(jnp.cumsum(onehots, axis=0),
+                                band[:, None], axis=1)[:, 0] - 1)
+    counts_all = jnp.sum(onehots, axis=0)                 # [B+1]
+    offsets_all = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(counts_all)[:-1]])
+    pos = offsets_all[band] + rank        # sorted position of each slot
+    # perm: sorted[j] = orig[perm[j]]; its inverse is pos itself
+    perm = jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32))
+    band_sorted = band[perm]
+    counts = counts_all[:n_bands]
+    offsets = offsets_all[:n_bands]
+
+    wy_max = max(bd[1] for bd in _SCALE_BANDS)
+    wx_max = max(bd[2] for bd in _SCALE_BANDS)
+    pyramid = _padded_band_pyramid(pp, wy_max, wx_max)
+
+    slot_iota = jnp.arange(n + rem, dtype=jnp.int32)
+    angle = jnp.zeros(n, jnp.float32)
+    acc = jnp.zeros((n, 87), jnp.float32)
+    for b, (_, wy, wx, ly, lx) in enumerate(_SCALE_BANDS):
+        ip, fp = band_params(ly, lx)
+        # compact band b to a valid prefix: sort, rotate its segment to the
+        # front, and flag exactly its count live (the kernel's block
+        # skipping then scales work with the band's population)
+        ip_b = jnp.roll(ip[perm], -offsets[b], axis=0)
+        fp_b = jnp.roll(fp[perm], -offsets[b], axis=0)
+        if rem:
+            ip_b = jnp.pad(ip_b, ((0, rem), (0, 0)))
+            fp_b = jnp.pad(fp_b, ((0, rem), (0, 0)))
+        live = (slot_iota < counts[b]).astype(jnp.int32)
+        ip_b = ip_b.at[:, 6].set(live)
+        ang_b, acc_b = orient_describe(
+            ip_b, fp_b, pyramid, patsize=cfg.descriptor_pattern_size,
+            kb=kb, interpret=interpret, wy=wy, wx=wx, zero_dead=False)
+        ang_u = jnp.roll(ang_b[:n], offsets[b], axis=0)
+        acc_u = jnp.roll(acc_b[:n], offsets[b], axis=0)
+        sel = band_sorted == b
+        angle = jnp.where(sel, ang_u, angle)
+        acc = jnp.where(sel[:, None], acc_u, acc)
+    # back to original keypoint order (pos is perm's inverse)
+    angle = angle[pos]
+    acc = acc[pos]
+    return _finish_descriptors(angle, acc)
+
+
+def _padded_band_pyramid(pp: PaddedPyramid, wy: int, wx: int):
+    """[3, P, Hp, Wp] bf16 stack padded so every tile-aligned window DMA
+    (rounded-down origins overhang by up to (8, 128)) stays in bounds."""
+    pyramid = jnp.stack([pp.L, pp.lx, pp.ly]).astype(jnp.bfloat16)
+    hp, wp = pyramid.shape[2], pyramid.shape[3]
+    hp2 = max(hp + 8, wy)
+    wp2 = max(wp + 128, wx)
+    return jnp.pad(pyramid, ((0, 0), (0, 0), (0, hp2 - hp),
+                             (0, wp2 - wp)))
+
+
+def _finish_descriptors(angle, acc):
     s1_np, s2_np = _compare_matrices()
     S = jnp.asarray(s1_np - s2_np)           # [87, 486]
     diff = jnp.dot(acc, S, preferred_element_type=jnp.float32)

@@ -41,6 +41,10 @@ class Keypoints(NamedTuple):
     response: jax.Array  # [max_pts] float32
     valid: jax.Array     # [max_pts] bool
     count: jax.Array     # scalar int32
+    # scalar bool: True when NMS survivors were dropped (a row overflowed
+    # ROW_CAP, or the total exceeded max_pts — the reference clamps the
+    # latter silently, akaze.cpp:451; here the loss is signalled)
+    overflow: jax.Array = None
 
 
 def _extrema_candidates(oct_data: OctaveData, oct_plan, threshold, fixed):
@@ -210,7 +214,10 @@ def select_keypoints(mask, resp_full, size_full, layer_full,
     n_cand = jnp.sum(cflat.astype(jnp.int32))
     got = jnp.arange(max_pts, dtype=jnp.int32) < n_cand
     idx = jnp.where(got, flat_idx[sel], 0).astype(jnp.int32)
-    # a row overflowing ROW_CAP drops its tail; count reflects what was kept
+    # a row overflowing ROW_CAP drops its tail; count reflects what was
+    # kept and the loss is flagged
+    total = jnp.sum(mask.astype(jnp.int32))
+    overflow = (total > n_cand) | (total > max_pts)
     count = jnp.minimum(count, n_cand)
     valid = jnp.arange(max_pts, dtype=jnp.int32) < count
     y = idx // w
@@ -220,7 +227,7 @@ def select_keypoints(mask, resp_full, size_full, layer_full,
         size=size_full.ravel()[idx],
         layer=layer_full.ravel()[idx],
         response=resp_full.ravel()[idx].astype(jnp.float32),
-        valid=valid, count=count)
+        valid=valid, count=count, overflow=overflow)
 
 
 class FlatPyramid(NamedTuple):

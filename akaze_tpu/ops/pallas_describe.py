@@ -146,7 +146,8 @@ def _fast_atan2(y, x):
 
 
 def _make_kernel(kb: int, patsize: int, n_steps: int,
-                 parts: str = "both"):
+                 parts: str = "both", wy: int = WY, wx: int = WX,
+                 zero_dead: bool = True):
     """Batched-block kernel: the per-keypoint formulation issued ~45 small
     vector/matrix ops per keypoint and was op-issue bound (~3 us/kp).  Here
     only the window-dependent sampling matmuls stay per-keypoint; everything
@@ -194,8 +195,8 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
             y0a = pl.multiple_of((y0 // 8) * 8, 8)
             x0a = pl.multiple_of((x0 // 128) * 128, 128)
             return pltpu.make_async_copy(
-                pyr_ref.at[t, p, pl.ds(y0a, WY), pl.ds(x0a, WX)],
-                wnd.at[slot, j, :, pl.ds(t * WX, WX)],
+                pyr_ref.at[t, p, pl.ds(y0a, wy), pl.ds(x0a, wx)],
+                wnd.at[slot, j, :, pl.ds(t * wx, wx)],
                 sems.at[slot, j, t])
 
         # valid keypoints occupy a prefix of the slot array (masked-nonzero
@@ -254,16 +255,16 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                     orow = oy_l[j] + isc_l[j] * (ta - 5)
                     ocol = ox_l[j] + isc_l[j] * (tb - 5)
                     orow = jnp.where(tap >= 121, -1, orow)
-                    row_oh = one_hot_rows(orow, WY, jnp.bfloat16)
+                    row_oh = one_hot_rows(orow, wy, jnp.bfloat16)
                     # both derivative planes in one matmul
                     T = jax.lax.dot_general(
-                        row_oh, wnd[slot, j, :, WX:3 * WX],
+                        row_oh, wnd[slot, j, :, wx:3 * wx],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)   # [OPAD, 2WX]
                     Ts.append(T.astype(jnp.bfloat16))
-                    c = one_hot_rows(ocol, WX, jnp.bfloat16)
+                    c = one_hot_rows(ocol, wx, jnp.bfloat16)
                     cols2.append(jnp.concatenate([c, c], axis=1))
-                T_all = jnp.concatenate(Ts, axis=1)        # [OPAD, kb*2WX]
+                T_all = jnp.concatenate(Ts, axis=1)        # [OPAD, kb*2wx]
                 C_all = jnp.concatenate(cols2, axis=1)
                 P = (T_all * C_all).astype(jnp.float32)
                 # block-ones reduce: [OPAD, kb*2WX] @ [kb*2WX, 2kb]
@@ -353,20 +354,19 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
             yp = (yc_row + sc_row * (kof * si_row + lof * co_row)
                   + 0.5).astype(jnp.int32)
             yp = jnp.where(dlive > 0, yp, -1)
-            ones3 = jnp.ones((WX, 3), jnp.float32)  # per-plane reducer
             Ss = []
             for j in range(kb):
-                row_oh = one_hot_rows(yp[:, j:j + 1], WY, jnp.bfloat16)
+                row_oh = one_hot_rows(yp[:, j:j + 1], wy, jnp.bfloat16)
                 T = jax.lax.dot_general(
                     row_oh, wnd[slot, j], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # [NPAD, 3WX]
-                c = one_hot_rows(xp[:, j:j + 1], WX, jnp.bfloat16)
+                c = one_hot_rows(xp[:, j:j + 1], wx, jnp.bfloat16)
                 c3 = jnp.concatenate([c, c, c], axis=1)
                 Pj = (T.astype(jnp.bfloat16) * c3).astype(jnp.float32)
                 # reduce each WX chunk: [NPAD, 3WX] -> [NPAD, 3]
-                Sj = (jnp.sum(Pj[:, :WX], axis=1, keepdims=True),
-                      jnp.sum(Pj[:, WX:2 * WX], axis=1, keepdims=True),
-                      jnp.sum(Pj[:, 2 * WX:], axis=1, keepdims=True))
+                Sj = (jnp.sum(Pj[:, :wx], axis=1, keepdims=True),
+                      jnp.sum(Pj[:, wx:2 * wx], axis=1, keepdims=True),
+                      jnp.sum(Pj[:, 2 * wx:], axis=1, keepdims=True))
                 Ss.extend(Sj)
             S_all = jnp.concatenate(Ss, axis=1)             # [NPAD, 3kb]
             acc = jax.lax.dot_general(
@@ -405,10 +405,13 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
             acc_ref[...] = jnp.concatenate(
                 groups + [jnp.zeros((kb, WSIZE - 96), jnp.float32)], axis=1)
 
-        @pl.when(jnp.logical_not(block_live(step)))
-        def _():
-            angle_ref[...] = jnp.zeros_like(angle_ref)
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+        if zero_dead:
+            # single-kernel mode: dead blocks' output slots are consumed
+            # directly, so they must read as zero
+            @pl.when(jnp.logical_not(block_live(step)))
+            def _():
+                angle_ref[...] = jnp.zeros_like(angle_ref)
+                acc_ref[...] = jnp.zeros_like(acc_ref)
 
         @pl.when(block_live(step))
         def _():
@@ -421,20 +424,22 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
 
 
 @lru_cache(maxsize=None)
-def _g2_matrix(kb: int):
-    """[kb*2*WX, 2*kb] block-ones: column j sums the gx chunk of keypoint
+def _g2_matrix(kb: int, wx: int = WX):
+    """[kb*2*wx, 2*kb] block-ones: column j sums the gx chunk of keypoint
     j, column kb+j the gy chunk."""
-    G = np.zeros((kb * 2 * WX, 2 * kb), np.float32)
+    G = np.zeros((kb * 2 * wx, 2 * kb), np.float32)
     for j in range(kb):
-        G[j * 2 * WX:j * 2 * WX + WX, j] = 1.0
-        G[j * 2 * WX + WX:(j + 1) * 2 * WX, kb + j] = 1.0
+        G[j * 2 * wx:j * 2 * wx + wx, j] = 1.0
+        G[j * 2 * wx + wx:(j + 1) * 2 * wx, kb + j] = 1.0
     return G
 
 
-@partial(jax.jit, static_argnames=("patsize", "kb", "interpret", "parts"))
+@partial(jax.jit, static_argnames=("patsize", "kb", "interpret", "parts",
+                                   "wy", "wx", "zero_dead"))
 def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
                     kb: int = 8, interpret: bool = False,
-                    parts: str = "both"):
+                    parts: str = "both", wy: int = WY, wx: int = WX,
+                    zero_dead: bool = True):
     """Run the fused kernel.
 
     Args:
@@ -452,8 +457,9 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
     """
     n = iparams.shape[0]
     assert n % kb == 0, "pad keypoint count to a multiple of kb"
+    assert wy % 8 == 0, "wy must be sublane-aligned"
     n_steps = n // kb
-    kernel = _make_kernel(kb, patsize, n_steps, parts)
+    kernel = _make_kernel(kb, patsize, n_steps, parts, wy, wx, zero_dead)
     iparams = iparams.reshape(-1)
     fparams = fparams.reshape(-1)
 
@@ -476,13 +482,13 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
                   const_spec((NPAD, 1)),
                   const_spec((NPAD, 1)),
                   const_spec((NPAD, 32)),
-                  const_spec((kb * 2 * WX, 2 * kb))],
+                  const_spec((kb * 2 * wx, 2 * kb))],
         out_specs=[
             pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
             pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, kb, WY, 3 * WX), jnp.bfloat16),
+            pltpu.VMEM((2, kb, wy, 3 * wx), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, kb, 3)),
         ],
     )
@@ -498,6 +504,6 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
         interpret=interpret,
     )(iparams, fparams, pyramid, wtv, band,
       jnp.asarray(lof_np), jnp.asarray(kof_np), jnp.asarray(dlive_np),
-      jnp.asarray(M32_np), jnp.asarray(_g2_matrix(kb)))
+      jnp.asarray(M32_np), jnp.asarray(_g2_matrix(kb, wx)))
     perm = jnp.asarray(_group_to_interleaved())
     return angle_b[:, 0], acc[:, perm][:, :87]

@@ -15,6 +15,7 @@ Checkpointable via slam.checkpoint (poses + keyframe metadata).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -37,6 +38,90 @@ class SlamConfig:
     loop_weight: float = 1.0
     odom_weight: float = 1.0
     optimize_every: int = 4        # run PGO every N new keyframes
+    loop_candidates: int = 4       # keyframes fully matched per new keyframe
+
+
+@partial(jax.jit, static_argnames=("max_dist",))
+def _batched_match_counts(qw, qv, words, valid, max_dist: int = 96):
+    """Accepted-match counts of one query keyframe against a stack of
+    stored keyframes — ONE jitted program (a lax.map of MXU matchers), so
+    loop-closure candidate scoring costs a single dispatch regardless of
+    how many keyframes are screened.
+
+    qw [Q, 16] uint32 / qv [Q] bool; words [C, T, 16] / valid [C, T].
+    Returns counts [C] int32.
+    """
+    zeros = jnp.zeros(words.shape[1], jnp.float32)
+
+    def one(kf):
+        w2, v2 = kf
+        m = match(qw, qv, w2, v2, zeros, zeros, max_dist,
+                  use_pallas="off")
+        return jnp.sum((m.index >= 0).astype(jnp.int32))
+
+    return jax.lax.map(one, (words, valid))
+
+
+class KeyframeIndex:
+    """Host-side loop-closure index over keyframe descriptor sets.
+
+    Two tiers (replacing the reference-era O(K) one-dispatch-per-keyframe
+    scan): a 512-lane bit-frequency signature per keyframe gives an O(K)
+    cosine prefilter on the host; the top candidates are then fully
+    matched in one batched jitted program (``_batched_match_counts``).
+    """
+
+    def __init__(self):
+        self._words: List[np.ndarray] = []   # [T, 16] uint32 per keyframe
+        self._valid: List[np.ndarray] = []
+        self._sigs: List[np.ndarray] = []    # [512] unit-norm bit freqs
+
+    def __len__(self):
+        return len(self._words)
+
+    @staticmethod
+    def _signature(words: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        bits = np.unpackbits(
+            np.ascontiguousarray(words[valid]).view(np.uint8),
+            axis=None).astype(np.float32)
+        if valid.any():
+            sig = bits.reshape(-1, 512).mean(axis=0)
+        else:
+            sig = np.zeros(512, np.float32)
+        n = np.linalg.norm(sig)
+        return sig / n if n > 0 else sig
+
+    def add(self, feats) -> None:
+        w = np.asarray(feats.words)
+        v = np.asarray(feats.valid)
+        self._words.append(w)
+        self._valid.append(v)
+        self._sigs.append(self._signature(w, v))
+
+    def candidates(self, query_idx: int, gap: int, top: int) -> np.ndarray:
+        """Indices of the ``top`` most signature-similar keyframes at least
+        ``gap`` behind ``query_idx`` (may return fewer)."""
+        hi = query_idx - gap
+        if hi <= 0:
+            return np.empty(0, np.int64)
+        sims = np.asarray(self._sigs[:hi]) @ self._sigs[query_idx]
+        top = min(top, hi)
+        cand = np.argpartition(-sims, top - 1)[:top]
+        return cand[np.argsort(-sims[cand])]
+
+    def match_counts(self, query_idx: int, cand: np.ndarray,
+                     max_dist: int = 96) -> np.ndarray:
+        """Accepted-match counts of the query against the candidate set in
+        one dispatch."""
+        if len(cand) == 0:
+            return np.empty(0, np.int64)
+        counts = _batched_match_counts(
+            jnp.asarray(self._words[query_idx]),
+            jnp.asarray(self._valid[query_idx]),
+            jnp.asarray(np.stack([self._words[c] for c in cand])),
+            jnp.asarray(np.stack([self._valid[c] for c in cand])),
+            max_dist)
+        return np.asarray(counts)
 
 
 def loop_edge_measurement(R_new, t_new, R_old, t_old, R_rel, t_dir):
@@ -75,6 +160,7 @@ class SlamSystem:
         self.intr = intr
         # pose-graph edges between *keyframes* (indices into vo.keyframes)
         self.edges = []            # (i, j, R_ij np, t_ij np, weight)
+        self.index = KeyframeIndex()
         self._n_kf_seen = 1
         self._since_opt = 0
 
@@ -84,18 +170,17 @@ class SlamSystem:
         return np.asarray(R), np.asarray(t)
 
     def _try_loop_closure(self, new_idx: int):
-        """Match the new keyframe against older ones; add a loop edge when
-        descriptor matching + RANSAC agree."""
+        """Propose loop candidates (signature prefilter + one batched
+        match dispatch) and add a loop edge where RANSAC agrees."""
         kfs = self.vo.keyframes
         new = kfs[new_idx]
-        for old_idx in range(0, new_idx - self.cfg.min_loop_gap):
-            old = kfs[old_idx]
-            m = match(new.features.words, new.features.valid,
-                      old.features.words, old.features.valid,
-                      old.features.x, old.features.y)
-            n_acc = int(np.asarray(m.index >= 0).sum())
-            if n_acc < self.cfg.loop_min_matches:
+        cand = self.index.candidates(new_idx, self.cfg.min_loop_gap,
+                                     self.cfg.loop_candidates)
+        counts = self.index.match_counts(new_idx, cand)
+        for old_idx, n_acc in zip(cand, counts):
+            if int(n_acc) < self.cfg.loop_min_matches:
                 continue
+            old = kfs[int(old_idx)]
             _, res, _, _, _ = _two_view(
                 self.vo._next_key(), new.features, old.features,
                 self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy,
@@ -104,24 +189,26 @@ class SlamSystem:
                 continue
             R_ij, t_ij = loop_edge_measurement(
                 new.R, new.t, old.R, old.t, res.R, res.t)
-            self.edges.append((new_idx, old_idx, R_ij, t_ij,
+            self.edges.append((int(new_idx), int(old_idx), R_ij, t_ij,
                                self.cfg.loop_weight))
 
     def process(self, image) -> tuple:
         n_before = len(self.vo.keyframes)
         pose = self.vo.process(image)
-        if len(self.vo.keyframes) > n_before and n_before > 0:
+        if len(self.vo.keyframes) > n_before:
             new_idx = len(self.vo.keyframes) - 1
-            prev = self.vo.keyframes[new_idx - 1]
-            new = self.vo.keyframes[new_idx]
-            R_ij, t_ij = self._relative(prev.R, prev.t, new.R, new.t)
-            self.edges.append((new_idx - 1, new_idx, R_ij, t_ij,
-                               self.cfg.odom_weight))
-            self._try_loop_closure(new_idx)
-            self._since_opt += 1
-            if self._since_opt >= self.cfg.optimize_every:
-                self.optimize()
-                self._since_opt = 0
+            self.index.add(self.vo.keyframes[new_idx].features)
+            if n_before > 0:
+                prev = self.vo.keyframes[new_idx - 1]
+                new = self.vo.keyframes[new_idx]
+                R_ij, t_ij = self._relative(prev.R, prev.t, new.R, new.t)
+                self.edges.append((new_idx - 1, new_idx, R_ij, t_ij,
+                                   self.cfg.odom_weight))
+                self._try_loop_closure(new_idx)
+                self._since_opt += 1
+                if self._since_opt >= self.cfg.optimize_every:
+                    self.optimize()
+                    self._since_opt = 0
         return pose
 
     def optimize(self, iters: int = 10):

@@ -26,8 +26,15 @@ BASELINE_MS = 19.56
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: the banded Pallas kernels make a cold
+    # compile of the two scan programs take minutes; cache across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(
+                          __file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from akaze_tpu import AkazeConfig
     from akaze_tpu.io import load_pgm
     from akaze_tpu.match import match

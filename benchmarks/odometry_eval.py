@@ -82,12 +82,68 @@ def project_frame(X, R, t, words, intr, n_pad, noise, rng):
         count=jnp.int32(int(vis.sum())))
 
 
+def load_kitti_intrinsics(kitti_dir, frame_shape):
+    """Intrinsics from calib.txt's P0 row when present, else a generic
+    default from the frame size."""
+    calib = os.path.join(kitti_dir, "calib.txt")
+    if os.path.exists(calib):
+        with open(calib) as f:
+            for line in f:
+                if line.startswith("P0:"):
+                    v = [float(x) for x in line.split()[1:]]
+                    return v[0], v[5], v[2], v[6]
+    h, w = frame_shape
+    return 0.9 * w, 0.9 * w, w / 2.0, h / 2.0
+
+
+def run_kitti(kitti_dir, max_frames):
+    """Real-sequence mode: KITTI odometry layout (image_0/ + poses.txt).
+
+    Runs the actual AKAZE VisualOdometry over the frames and scores ATE
+    RMSE against the ground-truth trajectory.
+    """
+    from akaze_tpu import AkazeConfig
+    from akaze_tpu.io import FrameSequence, load_kitti_poses, ate_rmse
+    from akaze_tpu.slam.odometry import Intrinsics, VisualOdometry
+
+    seq = FrameSequence(os.path.join(kitti_dir, "image_0"))
+    R_gt, t_gt = load_kitti_poses(os.path.join(kitti_dir, "poses.txt"))
+    frames = []
+    for k, img in enumerate(seq):
+        if max_frames and k >= max_frames:
+            break
+        frames.append(img)
+    n = len(frames)
+    fx, fy, cx, cy = load_kitti_intrinsics(kitti_dir, frames[0].shape)
+    vo = VisualOdometry(Intrinsics(fx, fy, cx, cy),
+                        AkazeConfig(max_pts=4000))
+    for img in frames:
+        vo.process(img.astype(np.float32) / 255.0)
+    traj = vo.trajectory()
+    # KITTI poses are camera-to-world: the translation IS the position
+    c_gt = t_gt[:n]
+    rec = {
+        "metric": "KITTI odometry ATE RMSE (Umeyama aligned)",
+        "dir": kitti_dir,
+        "frames": n,
+        "ate": round(ate_rmse(traj, c_gt), 4),
+        "keyframes": len(vo.keyframes),
+    }
+    print(json.dumps(rec))
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--noise", type=float, default=0.3,
                     help="pixel noise sigma")
+    ap.add_argument("--kitti-dir", default=None,
+                    help="KITTI odometry sequence dir (image_0/ + "
+                         "poses.txt [+ calib.txt]); synthetic otherwise")
     args = ap.parse_args()
+    if args.kitti_dir:
+        return run_kitti(args.kitti_dir, args.frames)
 
     import jax
     import jax.numpy as jnp

@@ -86,8 +86,15 @@ def main():
     if len(counts) > 1:
         base = results[counts[0]]
         eff = {n: results[n] / (base * n) for n in counts[1:]}
+        # honesty: numbers from a virtual CPU mesh validate only that the
+        # sharded program compiles and runs — they are NOT interconnect
+        # scaling evidence.  Real efficiency requires a multi-chip slice.
+        import jax as _jax
+        virtual = (_jax.default_backend() == "cpu")
         print(json.dumps({
             "metric": "frames/s scaling efficiency vs 1 device",
+            "evidence": ("program-validity only (virtual CPU mesh)"
+                         if virtual else "hardware"),
             "efficiency": {str(n): round(e, 3) for n, e in eff.items()}}))
 
 

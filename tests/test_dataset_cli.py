@@ -88,6 +88,42 @@ class TestCli:
         assert os.path.exists(str(tmp_path / "akaze_matches.png"))
 
 
+class TestKittiEval:
+    @pytest.mark.slow
+    def test_kitti_layout_end_to_end(self, tmp_path, rng):
+        """benchmarks/odometry_eval.py --kitti-dir consumes a KITTI-layout
+        directory (image_0/*.pgm + poses.txt + calib.txt) end to end."""
+        import json
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "benchmarks"))
+        import odometry_eval
+
+        img_dir = tmp_path / "image_0"
+        img_dir.mkdir()
+        frames, offs = synthetic_sequence(rng, n_frames=5, size=(192, 256),
+                                          shift_per_frame=(3.0, 1.5),
+                                          n_blobs=80)
+        for i, f in enumerate(frames):
+            save_pgm(str(img_dir / f"{i:06d}.pgm"), f)
+        R = np.tile(np.eye(3, dtype=np.float32), (5, 1, 1))
+        t = np.concatenate([np.asarray(offs, np.float32) * 0.01,
+                            np.zeros((5, 1), np.float32)], axis=1)
+        save_kitti_poses(str(tmp_path / "poses.txt"), R, t)
+        with open(tmp_path / "calib.txt", "w") as f:
+            f.write("P0: 230.0 0.0 128.0 0.0 0.0 230.0 96.0 0.0 "
+                    "0.0 0.0 1.0 0.0\n")
+
+        rec = odometry_eval.run_kitti(str(tmp_path), max_frames=5)
+        assert rec["frames"] == 5
+        assert np.isfinite(rec["ate"])
+        assert rec["keyframes"] >= 1
+        # intrinsics parsed from calib.txt
+        fx, fy, cx, cy = odometry_eval.load_kitti_intrinsics(
+            str(tmp_path), frames[0].shape)
+        assert (fx, fy, cx, cy) == (230.0, 230.0, 128.0, 96.0)
+
+
 class TestDebugPlanes:
     def test_debug_planes_and_dump(self, tmp_path, test_image):
         from akaze_tpu import AkazeConfig

@@ -92,6 +92,37 @@ def test_select_keypoints_compacts_row_major():
     assert not bool(kps.valid[3])
 
 
+def test_select_keypoints_overflow_flag():
+    """Dropped survivors must be signalled: a row overflowing ROW_CAP or a
+    total beyond max_pts sets kps.overflow (the reference clamps silently,
+    akaze.cpp:451)."""
+    from akaze_tpu.detect import ROW_CAP
+    h, w = 64, 200
+    r = jnp.ones((h, w), jnp.float32)
+    s = jnp.full((h, w), 2.4, jnp.float32)
+    l = jnp.zeros((h, w), jnp.int32)
+
+    # 1) no overflow
+    m = np.zeros((h, w), bool)
+    m[10, 20:25] = True
+    kps = select_keypoints(jnp.asarray(m), r, s, l, 64)
+    assert int(kps.count) == 5 and not bool(kps.overflow)
+
+    # 2) one row with more than ROW_CAP survivors: tail dropped, flagged
+    m = np.zeros((h, w), bool)
+    m[10, 10:10 + ROW_CAP + 8] = True
+    kps = select_keypoints(jnp.asarray(m), r, s, l, 128)
+    assert int(kps.count) == ROW_CAP
+    assert bool(kps.overflow)
+
+    # 3) total beyond max_pts: clamped, flagged
+    m = np.zeros((h, w), bool)
+    m[5:25, 30] = True  # 20 survivors, one per row
+    kps = select_keypoints(jnp.asarray(m), r, s, l, 8)
+    assert int(kps.count) == 8
+    assert bool(kps.overflow)
+
+
 def test_refine_recovers_subpixel_peak():
     # build a det plane with a quadratic peak at (50.3, 40.6)
     cfg = AkazeConfig(max_pts=8, noctaves=1, max_scale=1)
