@@ -179,11 +179,13 @@ def nms(resp_full, size_full, layer_full, plan: PipelinePlan,
     return (layer_full >= 0) & region & ~suppressed
 
 
-ROW_CAP = 32    # max keypoints kept per image row (top-k cost is linear in
-                # the cap; NMS survivors are very sparse — the stock pair
-                # averages ~4/row — and the count is clamped to what was
-                # kept if a row ever overflows, like the reference's silent
-                # max_pts clamp, akaze.cpp:451)
+ROW_CAP = 32    # max keypoints kept per image row; additionally at most
+                # TILE_CAP survive per 128-column tile of a row.  NMS
+                # survivors are very sparse — the stock pair averages
+                # ~4/row — and any drop is flagged via Keypoints.overflow
+                # (the reference clamps silently at max_pts, akaze.cpp:451)
+TILE = 128      # lane-tile width of the two-level compaction
+TILE_CAP = 8    # max survivors kept per row-tile
 
 
 def select_keypoints(mask, resp_full, size_full, layer_full,
@@ -191,19 +193,43 @@ def select_keypoints(mask, resp_full, size_full, layer_full,
     """Masked compaction into fixed-size SoA tensors.
 
     A flat ``jnp.nonzero`` over the full-resolution mask costs a cumsum +
-    scatter over H*W elements (~11 ms at 960x1280 on v5e).  Survivors are
-    sparse, so compact hierarchically instead: per-row top-ROW_CAP by a
-    position-encoding key (exact row-major order), then one small nonzero
-    over the [H*ROW_CAP] candidate list.
+    scatter over H*W elements (~11 ms at 960x1280 on v5e), and a per-row
+    ``lax.top_k`` over the full width costs a partial sort of W lanes per
+    row (~1.8 ms).  Survivors are sparse, so compact in three levels:
+    per-128-lane-tile top-TILE_CAP by iterated masked argmax (cheap vector
+    ops), per-row top-ROW_CAP over the few tile candidates, then one small
+    nonzero over the [H*ROW_CAP] list.  Exact row-major order: the key
+    encodes descending column rank, tiles partition columns in order, and
+    ties cannot occur among live keys.
     """
     h, w = mask.shape
-    cap = min(ROW_CAP, w)
+    wt = -(-w // TILE) * TILE
+    ntiles = wt // TILE
+    cap = min(ROW_CAP, w, ntiles * TILE_CAP)
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), max_pts)
     # key encodes (valid, -column) so top-k yields valid columns in
     # ascending column order; iota < 2^24 is exact in f32's integer range
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     key = jnp.where(mask, (w - cols).astype(jnp.float32), 0.0)
-    topv, topi = jax.lax.top_k(key, cap)           # [h, cap]
+
+    # level 1: top-TILE_CAP per 128-lane tile via iterated masked argmax
+    keyt = jnp.pad(key, ((0, 0), (0, wt - w))).reshape(h, ntiles, TILE)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, ntiles, TILE), 2)
+    vs, cs = [], []
+    tbase = (jnp.arange(ntiles, dtype=jnp.int32) * TILE)[None, :]
+    k = keyt
+    for _ in range(min(TILE_CAP, cap)):
+        ar = jnp.argmax(k, axis=2).astype(jnp.int32)    # [h, ntiles]
+        vs.append(jnp.max(k, axis=2))
+        cs.append(tbase + ar)
+        k = jnp.where(lane == ar[:, :, None], 0.0, k)
+    cv = jnp.stack(vs, axis=2).reshape(h, -1)     # [h, ntiles*TILE_CAP]
+    cc = jnp.stack(cs, axis=2).reshape(h, -1)
+
+    # level 2: top-ROW_CAP per row over the tile candidates (tiles
+    # partition columns in order, so key order == global column order)
+    topv, sel = jax.lax.top_k(cv, cap)            # [h, cap]
+    topi = jnp.take_along_axis(cc, sel, axis=1)
     cvalid = topv > 0.0
     # flatten candidates; row-major order preserved (rows ascending, columns
     # ascending within a row)
@@ -330,19 +356,29 @@ def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
 
     det = flat.det
 
-    def g(doff):
-        return det[idx + doff]
+    # one gather per stencil ROW instead of nine scalar gathers: a
+    # contiguous row of <= 8 elements costs the same as one element on
+    # v5e's gather engine, so fetch three [N, 3] row segments
+    # (dynamic_slice clamps out-of-range starts, matching the clamped
+    # scalar gathers this replaces)
+    def row3(start):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(det, (s,), (3,)))(start)
 
-    c = g(0)
+    top = row3(idx - wo - 1)    # [g(-wo-1), g(-wo), g(-wo+1)]
+    mid = row3(idx - 1)         # [g(-1),    g(0),   g(1)]
+    bot = row3(idx + wo - 1)    # [g(wo-1),  g(wo),  g(wo+1)]
+
+    c = mid[:, 1]
     if fixed:
         # int arithmetic with arithmetic shifts (akazed.cu:3621-3627);
         # int32 overflow wraps exactly as CUDA's int does
         v2 = c + c
-        dx = (g(1) - g(-1)) >> 1
-        dy = (g(wo) - g(-wo)) >> 1
-        dxx = g(1) + g(-1) - v2
-        dyy = g(wo) + g(-wo) - v2
-        dxy = (g(wo + 1) + g(-wo - 1) - g(-wo + 1) - g(wo - 1)) >> 2
+        dx = (mid[:, 2] - mid[:, 0]) >> 1
+        dy = (bot[:, 1] - top[:, 1]) >> 1
+        dxx = mid[:, 2] + mid[:, 0] - v2
+        dyy = bot[:, 1] + top[:, 1] - v2
+        dxy = (bot[:, 2] + top[:, 0] - top[:, 2] - bot[:, 0]) >> 2
         dd = dxx * dyy - dxy * dxy
         dxf, dyf = dx.astype(jnp.float32), dy.astype(jnp.float32)
         dxxf, dyyf = dxx.astype(jnp.float32), dyy.astype(jnp.float32)
@@ -350,11 +386,11 @@ def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
         idd = jnp.where(dd != 0, 1.0 / dd.astype(jnp.float32), 0.0)
     else:
         v2 = c + c
-        dxf = 0.5 * (g(1) - g(-1))
-        dyf = 0.5 * (g(wo) - g(-wo))
-        dxxf = g(1) + g(-1) - v2
-        dyyf = g(wo) + g(-wo) - v2
-        dxyf = 0.25 * (g(wo + 1) + g(-wo - 1) - g(-wo + 1) - g(wo - 1))
+        dxf = 0.5 * (mid[:, 2] - mid[:, 0])
+        dyf = 0.5 * (bot[:, 1] - top[:, 1])
+        dxxf = mid[:, 2] + mid[:, 0] - v2
+        dyyf = bot[:, 1] + top[:, 1] - v2
+        dxyf = 0.25 * (bot[:, 2] + top[:, 0] - top[:, 2] - bot[:, 0])
         dd = dxxf * dyyf - dxyf * dxyf
         idd = jnp.where(dd != 0.0, 1.0 / dd, 0.0)
 

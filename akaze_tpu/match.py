@@ -87,8 +87,13 @@ def match(words1, valid1, words2, valid2, x2, y2,
             s1 = jnp.pad(s1, ((0, p1), (0, 0)))
         if p2:
             s2 = jnp.pad(s2, ((0, p2), (0, 0)))
+        # valid slots are a prefix (detect.select_keypoints), so the
+        # kernel's work can scale with the live counts, not the capacity
         best, second, bidx = hamming_top2(
-            s1, s2, interpret=(use_pallas == "interpret"))
+            s1, s2,
+            count1=jnp.sum(valid1.astype(jnp.int32)),
+            count2=jnp.sum(valid2.astype(jnp.int32)),
+            interpret=(use_pallas == "interpret"))
         best = best[:n1]
         second = second[:n1]
         bidx = jnp.clip(bidx[:n1], 0, n2 - 1)

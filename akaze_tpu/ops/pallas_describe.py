@@ -147,7 +147,7 @@ def _fast_atan2(y, x):
 
 def _make_kernel(kb: int, patsize: int, n_steps: int,
                  parts: str = "both", wy: int = WY, wx: int = WX,
-                 zero_dead: bool = True):
+                 zero_dead: bool = True, col_major: bool = False):
     """Batched-block kernel: the per-keypoint formulation issued ~45 small
     vector/matrix ops per keypoint and was op-issue bound (~3 us/kp).  Here
     only the window-dependent sampling matmuls stay per-keypoint; everything
@@ -348,30 +348,82 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
             si_row = jax.lax.dot_general(
                 si_col, eye_kb, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            # rotated tap positions for all kb keypoints: [NPAD, kb]
-            xp = (xc_row + sc_row * (kof * co_row - lof * si_row)
-                  + 0.5).astype(jnp.int32)
-            yp = (yc_row + sc_row * (kof * si_row + lof * co_row)
-                  + 0.5).astype(jnp.int32)
-            yp = jnp.where(dlive > 0, yp, -1)
-            Ss = []
-            for j in range(kb):
-                row_oh = one_hot_rows(yp[:, j:j + 1], wy, jnp.bfloat16)
-                T = jax.lax.dot_general(
-                    row_oh, wnd[slot, j], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # [NPAD, 3WX]
-                c = one_hot_rows(xp[:, j:j + 1], wx, jnp.bfloat16)
-                c3 = jnp.concatenate([c, c, c], axis=1)
-                Pj = (T.astype(jnp.bfloat16) * c3).astype(jnp.float32)
-                # reduce each WX chunk: [NPAD, 3WX] -> [NPAD, 3]
-                Sj = (jnp.sum(Pj[:, :wx], axis=1, keepdims=True),
-                      jnp.sum(Pj[:, wx:2 * wx], axis=1, keepdims=True),
-                      jnp.sum(Pj[:, 2 * wx:], axis=1, keepdims=True))
-                Ss.extend(Sj)
-            S_all = jnp.concatenate(Ss, axis=1)             # [NPAD, 3kb]
-            acc = jax.lax.dot_general(
-                S_all, M32, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [3kb, 32]
+            if col_major:
+                # Column-major sampling: contract the x selection on the
+                # MXU first (wnd [wy, wx] @ colT [wx, NPAD]), then resolve
+                # the y selection with a cheap SUBLANE-reduced elementwise
+                # product.  vs the row-major path this removes the
+                # [NPAD, 3wx] elementwise product + three LANE reductions
+                # at the cost of two extra per-keypoint matmuls.  MEASURED
+                # on v5e (stock pair): 3.65 ms vs 3.34 ms row-major — the
+                # extra per-keypoint matmul issues outweigh the VPU
+                # savings, so row-major stays the default; kept
+                # (bit-identical, interpret-tested) for hardware where the
+                # MXU/VPU balance differs.  Tap geometry is rebuilt in row
+                # layout from an iota (same l/k tables as
+                # _descriptor_window).
+                size3 = -(-2 * patsize // 3)
+                size4 = -(-patsize // 2)
+                winsize = max(3 * size3, 4 * size4)
+                t_row = jax.lax.broadcasted_iota(jnp.int32, (1, NPAD), 1)
+                yq = t_row // winsize
+                xq = t_row - winsize * yq
+                lof_row = (xq - patsize).astype(jnp.float32)
+                kof_row = (yq - patsize).astype(jnp.float32)
+                dlive_row = t_row < winsize * winsize
+                iota_wx = jax.lax.broadcasted_iota(jnp.int32, (wx, NPAD), 0)
+                iota_wy = jax.lax.broadcasted_iota(jnp.int32, (wy, NPAD), 0)
+                Ss = []
+                for j in range(kb):
+                    co_j = co_col[j:j + 1, :]               # [1, 1]
+                    si_j = si_col[j:j + 1, :]
+                    xp_row = (xc_l[j] + sc_l[j]
+                              * (kof_row * co_j - lof_row * si_j)
+                              + 0.5).astype(jnp.int32)      # [1, NPAD]
+                    yp_row = (yc_l[j] + sc_l[j]
+                              * (kof_row * si_j + lof_row * co_j)
+                              + 0.5).astype(jnp.int32)
+                    yp_row = jnp.where(dlive_row, yp_row, -1)
+                    colT = (iota_wx == jnp.broadcast_to(xp_row, (wx, NPAD))
+                            ).astype(jnp.bfloat16)          # [wx, NPAD]
+                    rowT = (iota_wy == jnp.broadcast_to(yp_row, (wy, NPAD))
+                            ).astype(jnp.float32)           # [wy, NPAD]
+                    for t in range(3):
+                        Tx = jax.lax.dot_general(
+                            wnd[slot, j, :, t * wx:(t + 1) * wx], colT,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [wy,NPAD]
+                        Ss.append(jnp.sum(rowT * Tx, axis=0,
+                                          keepdims=True))   # [1, NPAD]
+                S_rows = jnp.concatenate(Ss, axis=0)        # [3kb, NPAD]
+                acc = jax.lax.dot_general(
+                    S_rows, M32, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [3kb, 32]
+            else:
+                # rotated tap positions for all kb keypoints: [NPAD, kb]
+                xp = (xc_row + sc_row * (kof * co_row - lof * si_row)
+                      + 0.5).astype(jnp.int32)
+                yp = (yc_row + sc_row * (kof * si_row + lof * co_row)
+                      + 0.5).astype(jnp.int32)
+                yp = jnp.where(dlive > 0, yp, -1)
+                Ss = []
+                for j in range(kb):
+                    row_oh = one_hot_rows(yp[:, j:j + 1], wy, jnp.bfloat16)
+                    T = jax.lax.dot_general(
+                        row_oh, wnd[slot, j], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [NPAD, 3WX]
+                    c = one_hot_rows(xp[:, j:j + 1], wx, jnp.bfloat16)
+                    c3 = jnp.concatenate([c, c, c], axis=1)
+                    Pj = (T.astype(jnp.bfloat16) * c3).astype(jnp.float32)
+                    # reduce each WX chunk: [NPAD, 3WX] -> [NPAD, 3]
+                    Sj = (jnp.sum(Pj[:, :wx], axis=1, keepdims=True),
+                          jnp.sum(Pj[:, wx:2 * wx], axis=1, keepdims=True),
+                          jnp.sum(Pj[:, 2 * wx:], axis=1, keepdims=True))
+                    Ss.extend(Sj)
+                S_all = jnp.concatenate(Ss, axis=1)         # [NPAD, 3kb]
+                acc = jax.lax.dot_general(
+                    S_all, M32, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [3kb, 32]
             # rotate derivative cell sums (linear, commutes with the cell
             # sums on the float path); rows are (im, dx, dy) per keypoint.
             # row r needs coefficient of keypoint r // 3 (pltpu.repeat
@@ -435,11 +487,11 @@ def _g2_matrix(kb: int, wx: int = WX):
 
 
 @partial(jax.jit, static_argnames=("patsize", "kb", "interpret", "parts",
-                                   "wy", "wx", "zero_dead"))
+                                   "wy", "wx", "zero_dead", "col_major"))
 def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
                     kb: int = 8, interpret: bool = False,
                     parts: str = "both", wy: int = WY, wx: int = WX,
-                    zero_dead: bool = True):
+                    zero_dead: bool = True, col_major: bool = False):
     """Run the fused kernel.
 
     Args:
@@ -459,7 +511,8 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
     assert n % kb == 0, "pad keypoint count to a multiple of kb"
     assert wy % 8 == 0, "wy must be sublane-aligned"
     n_steps = n // kb
-    kernel = _make_kernel(kb, patsize, n_steps, parts, wy, wx, zero_dead)
+    kernel = _make_kernel(kb, patsize, n_steps, parts, wy, wx, zero_dead,
+                          col_major)
     iparams = iparams.reshape(-1)
     fparams = fparams.reshape(-1)
 

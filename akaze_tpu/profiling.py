@@ -19,6 +19,17 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache(path=None):
+    """Persistent compilation cache (first compiles of the benchmark scan
+    programs take minutes; cache them across runs)."""
+    import os
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def scan_time(fn, *args, n1: int = 2, n2: int = 12, trials: int = 1):
     """Per-iteration seconds of ``fn(*args) -> scalar`` measured in-graph.
 

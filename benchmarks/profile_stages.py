@@ -33,6 +33,9 @@ from akaze_tpu.descriptor import (WSIZE, extract_windows, compute_orientation,
 from akaze_tpu.match import match
 from akaze_tpu.pipeline import detect_and_compute
 from prof_utils import report
+from akaze_tpu.profiling import enable_compile_cache
+
+enable_compile_cache()
 
 
 def main():

@@ -108,12 +108,32 @@ def test_select_keypoints_overflow_flag():
     kps = select_keypoints(jnp.asarray(m), r, s, l, 64)
     assert int(kps.count) == 5 and not bool(kps.overflow)
 
-    # 2) one row with more than ROW_CAP survivors: tail dropped, flagged
+    # 2) one 128-lane tile with more than TILE_CAP survivors: tail
+    #    dropped, flagged
+    from akaze_tpu.detect import TILE_CAP
     m = np.zeros((h, w), bool)
-    m[10, 10:10 + ROW_CAP + 8] = True
+    m[10, 10:10 + TILE_CAP + 6] = True
     kps = select_keypoints(jnp.asarray(m), r, s, l, 128)
+    assert int(kps.count) == TILE_CAP
+    assert bool(kps.overflow)
+    # kept survivors are the lowest columns, in order
+    np.testing.assert_array_equal(np.asarray(kps.x[:TILE_CAP]),
+                                  np.arange(10, 10 + TILE_CAP))
+
+    # 2b) a row with more than ROW_CAP survivors spread across tiles
+    #     (none over TILE_CAP): clamped at ROW_CAP, flagged
+    w2 = 640
+    m = np.zeros((h, w2), bool)
+    m[10, ::16] = True           # 40 survivors, 8 per 128-lane tile
+    r2 = jnp.ones((h, w2), jnp.float32)
+    s2 = jnp.full((h, w2), 2.4, jnp.float32)
+    l2 = jnp.zeros((h, w2), jnp.int32)
+    kps = select_keypoints(jnp.asarray(m), r2, s2, l2, 128)
     assert int(kps.count) == ROW_CAP
     assert bool(kps.overflow)
+    # the kept ROW_CAP are the lowest-column survivors, in order
+    np.testing.assert_array_equal(np.asarray(kps.x[:ROW_CAP]),
+                                  np.arange(0, 16 * ROW_CAP, 16))
 
     # 3) total beyond max_pts: clamped, flagged
     m = np.zeros((h, w), bool)
