@@ -66,6 +66,10 @@ class AkazeConfig:
     #   'interpret' always, in the Pallas interpreter (for CPU tests)
     #   'off'       never
     pallas_descriptor: str = "auto"
+    # fused Pallas scale-space sublevel kernel (float path, PM_G2 only;
+    # other diffusivities and the fixed path always use the XLA ops).
+    # Same mode values as pallas_descriptor.
+    pallas_scale_space: str = "auto"
 
     # smax scale multiplier for the extrema border; 10*sqrt(2) for the MLDB
     # descriptor family (FEATURE_TYPE 5; reference: akaze.cpp:277-285).
@@ -78,10 +82,11 @@ class AkazeConfig:
             raise ValueError("max_scale must be in [1, 5]")
         if self.noctaves < 1:
             raise ValueError("noctaves must be >= 1")
-        if self.pallas_descriptor not in ("auto", "on", "interpret", "off"):
-            raise ValueError(
-                "pallas_descriptor must be 'auto', 'on', 'interpret' or "
-                "'off'")
+        for field in ("pallas_descriptor", "pallas_scale_space"):
+            if getattr(self, field) not in ("auto", "on", "interpret",
+                                            "off"):
+                raise ValueError(
+                    f"{field} must be 'auto', 'on', 'interpret' or 'off'")
 
 
 DESCRIPTOR_BITS = 486     # 3 channels x (C(4,2) + C(9,2) + C(16,2)) comparisons

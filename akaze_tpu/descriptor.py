@@ -384,7 +384,8 @@ _SCALE_BANDS_3 = (
 
 
 def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
-                           plan: PipelinePlan, interpret: bool = False):
+                           plan: PipelinePlan, interpret: bool = False,
+                           slack=(0, 0)):
     """Orientation + MLDB descriptor via the fused Pallas kernel
     (ops/pallas_describe.py); numerically equivalent to
     compute_orientation + compute_descriptors on the float path up to
@@ -442,7 +443,7 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
         if rem:
             ip = jnp.pad(ip, ((0, rem), (0, 0)))
             fp = jnp.pad(fp, ((0, rem), (0, 0)))
-        pyramid = _padded_band_pyramid(pp, wy, wx)
+        pyramid = _padded_band_pyramid(pp, wy, wx, slack)
         angle, acc = orient_describe(
             ip, fp, pyramid, patsize=cfg.descriptor_pattern_size,
             kb=kb, interpret=interpret, wy=wy, wx=wx)
@@ -473,7 +474,7 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
 
     wy_max = max(bd[1] for bd in _SCALE_BANDS)
     wx_max = max(bd[2] for bd in _SCALE_BANDS)
-    pyramid = _padded_band_pyramid(pp, wy_max, wx_max)
+    pyramid = _padded_band_pyramid(pp, wy_max, wx_max, slack)
 
     slot_iota = jnp.arange(n + rem, dtype=jnp.int32)
     angle = jnp.zeros(n, jnp.float32)
@@ -504,15 +505,28 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
     return _finish_descriptors(angle, acc)
 
 
-def _padded_band_pyramid(pp: PaddedPyramid, wy: int, wx: int):
-    """[3, P, Hp, Wp] bf16 stack padded so every tile-aligned window DMA
-    (rounded-down origins overhang by up to (8, 128)) stays in bounds."""
-    pyramid = jnp.stack([pp.L, pp.lx, pp.ly]).astype(jnp.bfloat16)
-    hp, wp = pyramid.shape[2], pyramid.shape[3]
-    hp2 = max(hp + 8, wy)
-    wp2 = max(wp + 128, wx)
-    return jnp.pad(pyramid, ((0, 0), (0, 0), (0, hp2 - hp),
-                             (0, wp2 - wp)))
+def _padded_band_pyramid(pp: PaddedPyramid, wy: int, wx: int,
+                         slack=(0, 0)):
+    """Three [P, Hp, Wp] bf16 plane stacks (L, Lx, Ly), padded so every
+    tile-aligned window DMA (rounded-down origins overhang by up to
+    (8, 128)) stays in bounds.
+
+    ``slack``: (rows, cols) of overhang padding the planes already carry
+    (build_padded_pyramid's ``extra``) — with (8, 128) prebaked and bf16
+    planes this is a zero-copy pass-through."""
+    planes = (pp.L, pp.lx, pp.ly)
+    hp, wp = planes[0].shape[1], planes[0].shape[2]
+    hp2 = max(hp + max(8 - slack[0], 0), wy)
+    wp2 = max(wp + max(128 - slack[1], 0), wx)
+    pad = ((0, 0), (0, hp2 - hp), (0, wp2 - wp))
+
+    def prep(x):
+        x = x.astype(jnp.bfloat16)
+        if hp2 != hp or wp2 != wp:
+            x = jnp.pad(x, pad)
+        return x
+
+    return tuple(prep(x) for x in planes)
 
 
 def _finish_descriptors(angle, acc):

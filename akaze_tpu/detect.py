@@ -317,9 +317,12 @@ class PaddedPyramid(NamedTuple):
 
 
 def build_padded_pyramid(octaves: List[OctaveData], wsize: int,
-                         dtype=None) -> PaddedPyramid:
+                         dtype=None, extra=(0, 0)) -> PaddedPyramid:
+    """``extra``: additional (rows, cols) of zero padding beyond the octave
+    extents, so the Pallas kernel's tile-aligned window DMAs need no second
+    padding pass over the ~100 MB pyramid."""
     h0, w0 = octaves[0].det.shape[1:]
-    hp, wp = max(h0, wsize), max(w0, wsize)
+    hp, wp = max(h0 + extra[0], wsize), max(w0 + extra[1], wsize)
     Ls, lxs, lys, ws, hs = [], [], [], [], []
     for o in octaves:
         s, h, w = o.det.shape

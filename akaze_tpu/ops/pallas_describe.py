@@ -166,7 +166,9 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                #   (plane, y0, x0, oy, ox, iscale, valid, 0); oy/ox = the
                #   reference's int(x+0.5)>>o orientation center, window-local
                fparams_ref,           # prefetch [N*4] f32: yc, xc, scale, -
-               pyr_ref,               # [3, P, Hp, Wp] bf16 (HBM)
+               pl_ref,                # [P, Hp, Wp] bf16 L planes (HBM)
+               px_ref,                # [P, Hp, Wp] bf16 Lx planes (HBM)
+               py_ref,                # [P, Hp, Wp] bf16 Ly planes (HBM)
                wtv_ref,               # [OPAD, 1] f32 disc weights
                band_ref,              # [BINS, BINS] f32 7-bin window summer
                lof_ref,               # [NPAD, 1] f32 descriptor l offsets
@@ -186,6 +188,8 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
         dlive = dlive_ref[:]
         M32 = m32_ref[:]
 
+        plane_refs = (pl_ref, px_ref, py_ref)
+
         def dma(slot, blk, j, t):
             i = blk * kb + j
             p = iparams_ref[8 * i + 0]
@@ -195,7 +199,7 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
             y0a = pl.multiple_of((y0 // 8) * 8, 8)
             x0a = pl.multiple_of((x0 // 128) * 128, 128)
             return pltpu.make_async_copy(
-                pyr_ref.at[t, p, pl.ds(y0a, wy), pl.ds(x0a, wx)],
+                plane_refs[t].at[p, pl.ds(y0a, wy), pl.ds(x0a, wx)],
                 wnd.at[slot, j, :, pl.ds(t * wx, wx)],
                 sems.at[slot, j, t])
 
@@ -488,7 +492,7 @@ def _g2_matrix(kb: int, wx: int = WX):
 
 @partial(jax.jit, static_argnames=("patsize", "kb", "interpret", "parts",
                                    "wy", "wx", "zero_dead", "col_major"))
-def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
+def orient_describe(iparams, fparams, planes, patsize: int = 10,
                     kb: int = 8, interpret: bool = False,
                     parts: str = "both", wy: int = WY, wx: int = WX,
                     zero_dead: bool = True, col_major: bool = False):
@@ -502,7 +506,9 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
       fparams: [N, 4] f32 per keypoint: (yc, xc, scale, unused) with
         (yc, xc) the sub-pixel center in window-local coords and scale ==
         float(iscale).
-      pyramid: [3, P, Hp, Wp] bf16 stacked (L, Lx, Ly) padded planes.
+      planes: tuple of three [P, Hp, Wp] bf16 padded plane stacks
+        (L, Lx, Ly) — separate arrays so no [3, P, Hp, Wp] stack copy is
+        ever materialised.
 
     Returns (angle [N] f32, acc [N, 87] f32 in cell*3+chan lane layout,
     matching descriptor._compare_matrices).
@@ -529,6 +535,8 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
         num_scalar_prefetch=2,
         grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   const_spec((OPAD, 1)),
                   const_spec((BINS, BINS)),
                   const_spec((NPAD, 1)),
@@ -555,7 +563,7 @@ def orient_describe(iparams, fparams, pyramid, patsize: int = 10,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(iparams, fparams, pyramid, wtv, band,
+    )(iparams, fparams, planes[0], planes[1], planes[2], wtv, band,
       jnp.asarray(lof_np), jnp.asarray(kof_np), jnp.asarray(dlive_np),
       jnp.asarray(M32_np), jnp.asarray(_g2_matrix(kb, wx)))
     perm = jnp.asarray(_group_to_interleaved())

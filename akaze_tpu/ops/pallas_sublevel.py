@@ -1,0 +1,277 @@
+"""Fused Pallas TPU kernel: one nonlinear scale-space sublevel per pass.
+
+The XLA scale space runs ~8 stencil ops per sublevel (sigma-1 smooth,
+Scharr flow, N FED diffusion steps, scaled first derivatives, Hessian
+determinant), each materialising full-resolution intermediates in HBM —
+~80 MB of traffic per 1.2 MPix sublevel.  This kernel streams row blocks
+through VMEM once: a block plus its stencil halo is DMA'd in
+(double-buffered), every stage runs on-chip with static lane/sublane
+rolls, and only the four result planes (L, det, Lx, Ly) leave.
+
+Semantics mirror ops/conv.py, ops/diffusion.py and ops/scharr.py
+expression-for-expression (reference kernels: gConv2dR2 akazed.cu:205-356,
+gFlowNaive akazed.cu:1068-1107, gNldStepNaive akazed.cu:1241-1264,
+gDerivate akazed.cu:1267-1296, gHessianDeterminant akazed.cu:1299-1331).
+Reflect-101 borders come from a pre-padded input: the halo carries
+mirrored values, and diffusing a mirrored field evolves the halo exactly
+like the reflect-indexed interior computation, so L/Lx/Ly match the
+unfused ops everywhere and det matches on the interior (to FMA
+contraction noise, ~4e-7).  Inside the <= 2*step+2 border band det uses
+the analytic continuation of Lx/Ly where the XLA op reflect-pads the
+derivative plane (sign flip for an odd function) — a band that lies
+strictly inside the extrema-search border (smax * sigma_size >= 28 px),
+so detection results are unaffected.
+
+Float path, PM_G2 diffusivity (the demo configuration); the fixed-point
+path and other diffusivities use the XLA ops unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .conv import gauss_half_kernel
+from .scharr import SCHARR_FAC1, SCHARR_FAC2
+
+
+def _halo_for(step: int, n_taus: int) -> int:
+    """Vertical/horizontal stencil reach of one fused sublevel:
+    det needs smooth +-2*step (two dilated derivative passes) and smooth
+    needs the input +-2; the FED chain needs flow +-(n-1) -> smooth
+    +-n -> input +-(n + 2)."""
+    reach = max(2 * step + 2, n_taus + 3)
+    return -(-reach // 8) * 8  # sublane-aligned
+
+
+def _roll_x(x, off: int):
+    """x shifted so lane l reads source lane l + off (static)."""
+    if off == 0:
+        return x
+    n = x.shape[1]
+    return pltpu.roll(x, (-off) % n, axis=1)
+
+
+def _roll_y(x, off: int):
+    if off == 0:
+        return x
+    n = x.shape[0]
+    return pltpu.roll(x, (-off) % n, axis=0)
+
+
+def _shift(x, dy: int, dx: int):
+    return _roll_y(_roll_x(x, dx), dy)
+
+
+def _sep_conv_r2(x, k):
+    """Radius-2 separable Gaussian, identical expression order to
+    ops/conv.py:_row_pass/_col_pass."""
+    row = k[0] * x
+    for i in (1, 2):
+        row = row + k[i] * (_roll_x(x, -i) + _roll_x(x, i))
+    out = k[0] * row
+    for i in (1, 2):
+        out = out + k[i] * (_roll_y(row, -i) + _roll_y(row, i))
+    return out
+
+
+def _scharr_xy(x, step: int):
+    """Unnormalized Scharr gradients (ops/scharr.py:scharr_gradient_xy)."""
+    def v(dy, dx):
+        return _shift(x, dy * step, dx * step)
+
+    dx = 10 * (v(0, 1) - v(0, -1)) + 3 * (v(-1, 1) + v(1, 1)
+                                          - v(-1, -1) - v(1, -1))
+    dy = 10 * (v(1, 0) - v(-1, 0)) + 3 * (v(1, -1) + v(1, 1)
+                                          - v(-1, -1) - v(-1, 1))
+    return dx, dy
+
+
+def _scaled_deriv(x, step: int):
+    """ops/scharr.py:scaled_derivatives expression order."""
+    f1 = float(np.float32(SCHARR_FAC1))
+    f2 = float(np.float32(SCHARR_FAC2))
+
+    def v(dy, dx):
+        return _shift(x, dy * step, dx * step)
+
+    lx = f1 * (v(-1, 1) + v(1, 1) - v(-1, -1) - v(1, -1)) \
+        + f2 * (v(0, 1) - v(0, -1))
+    ly = f1 * (v(1, 1) + v(1, -1) - v(-1, 1) - v(-1, -1)) \
+        + f2 * (v(1, 0) - v(-1, 0))
+    return lx, ly
+
+
+def _nld_step(img, flow, tau: float):
+    """ops/diffusion.py:nld_step expression order."""
+    step = ((flow + _shift(flow, 0, 1)) * (_shift(img, 0, 1) - img)
+            + (flow + _shift(flow, 0, -1)) * (_shift(img, 0, -1) - img)
+            + (flow + _shift(flow, 1, 0)) * (_shift(img, 1, 0) - img)
+            + (flow + _shift(flow, -1, 0)) * (_shift(img, -1, 0) - img))
+    return img + float(np.float32(0.5) * np.float32(tau)) * step
+
+
+def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
+                 n_blocks: int, smooth_outside: bool):
+    rows = bh + 2 * halo
+    k = tuple(float(np.float32(v)) for v in gauss_half_kernel(1.0, 2))
+
+    def kernel(ikc_ref,      # prefetch [1] f32: 1 / kcontrast^2 (SMEM)
+               src_ref,      # [Hp, wp] f32 padded L_prev (HBM)
+               sm_ref,       # [Hp, wp] f32 padded smooth (HBM; only read
+               #               when smooth_outside)
+               L_ref,        # out [bh, wp] f32
+               det_ref,      # out [bh, wp] f32
+               lx_ref,       # out [bh, wp] f32
+               ly_ref,       # out [bh, wp] f32
+               buf,          # scratch [2, rows, wp] f32 (src)
+               sbuf,         # scratch [2, rows, wp] f32 (smooth, if used)
+               sems):        # DMA [2, 2]
+        blk = pl.program_id(0)
+
+        def dma(slot, b, which):
+            ref = src_ref if which == 0 else sm_ref
+            dst = buf if which == 0 else sbuf
+            return pltpu.make_async_copy(
+                ref.at[pl.ds(b * bh, rows), :],
+                dst.at[slot], sems.at[slot, which])
+
+        n_in = 2 if smooth_outside else 1
+
+        @pl.when(blk == 0)
+        def _():
+            for w in range(n_in):
+                dma(0, 0, w).start()
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            for w in range(n_in):
+                dma((blk + 1) % 2, blk + 1, w).start()
+
+        slot = blk % 2
+        for w in range(n_in):
+            dma(slot, blk, w).wait()
+
+        src = buf[slot]
+        if smooth_outside:
+            smooth = sbuf[slot]
+        else:
+            smooth = _sep_conv_r2(src, k)
+
+        # PM_G2 flow (gFlowNaive)
+        gx, gy = _scharr_xy(smooth, 1)
+        dif2 = ikc_ref[0] * (gx * gx + gy * gy)
+        flow = 1.0 / (1.0 + dif2)
+
+        # FED chain (halo shrinks one row/col per step; outputs stay valid
+        # because halo >= n_taus + 2)
+        L = src
+        for tau in taus:
+            L = _nld_step(L, flow, tau)
+
+        lx, ly = _scaled_deriv(smooth, step)
+        # Hessian determinant (same dilated stencil on lx/ly)
+        f1 = float(np.float32(SCHARR_FAC1))
+        f2 = float(np.float32(SCHARR_FAC2))
+
+        def v(a, dy, dx):
+            return _shift(a, dy * step, dx * step)
+
+        dxx = f1 * (v(lx, -1, 1) + v(lx, 1, 1) - v(lx, -1, -1)
+                    - v(lx, 1, -1)) + f2 * (v(lx, 0, 1) - v(lx, 0, -1))
+        dxy = f1 * (v(lx, 1, 1) + v(lx, 1, -1) - v(lx, -1, 1)
+                    - v(lx, -1, -1)) + f2 * (v(lx, 1, 0) - v(lx, -1, 0))
+        dyy = f1 * (v(ly, 1, 1) + v(ly, 1, -1) - v(ly, -1, 1)
+                    - v(ly, -1, -1)) + f2 * (v(ly, 1, 0) - v(ly, -1, 0))
+        det = dxx * dyy - dxy * dxy
+
+        L_ref[...] = L[halo:halo + bh, :]
+        det_ref[...] = det[halo:halo + bh, :]
+        lx_ref[...] = lx[halo:halo + bh, :]
+        ly_ref[...] = ly[halo:halo + bh, :]
+
+    return kernel
+
+
+def _pad_reflect(x, halo: int, bot_halo: int, wp: int):
+    """[H, W] -> [halo + H + bot_halo, wp] with reflect-101 halos (one
+    continued mirror — never a reflect-of-reflect — and zero fill past the
+    reflected columns)."""
+    h, w = x.shape
+    assert h > bot_halo + 1 and h > halo + 1, "plane too small for halo"
+    top = x[1:halo + 1][::-1]
+    bot = x[h - bot_halo - 1:h - 1][::-1]
+    xv = jnp.concatenate([top, x, bot], axis=0)
+    left = xv[:, 1:halo + 1][:, ::-1]
+    right = xv[:, w - halo - 1:w - 1][:, ::-1]
+    xh = jnp.concatenate([left, xv, right], axis=1)
+    return jnp.pad(xh, ((0, 0), (0, wp - xh.shape[1])))
+
+
+@partial(jax.jit, static_argnames=("taus", "step", "interpret"))
+def fused_sublevel(src, ikc, taus, step: int, smooth=None,
+                   interpret: bool = False):
+    """One scale-space sublevel, fused.
+
+    Args:
+      src: [H, W] f32 — the previous sublevel's L (or the decimated image
+        for an octave-start sublevel).
+      ikc: scalar f32, 1 / kcontrast^2.
+      taus: static tuple of FED step sizes.
+      step: static sigma_size for the derivative stencils.
+      smooth: optional [H, W] f32 precomputed sigma-1 smooth (octave-start
+        sublevels get it from down_with_smooth); computed in-kernel
+        otherwise.
+
+    Returns (L, det, lx, ly), each [H, W] f32.
+    """
+    h, w = src.shape
+    halo = _halo_for(step, len(taus))
+    bh = 64 if h >= 64 else max(8, -(-h // 8) * 8)
+    n_blocks = -(-h // bh)
+    hp = n_blocks * bh
+    wp = -(-(w + 2 * halo) // 128) * 128
+
+    # the bottom halo also covers the block-rounding tail (hp - h) with
+    # one continued mirror so bottom-border outputs stay exact
+    bot = hp - h + halo
+    srcp = _pad_reflect(src, halo, bot, wp)
+    smooth_outside = smooth is not None
+    smp = _pad_reflect(smooth, halo, bot, wp) if smooth_outside else srcp
+
+    kernel = _make_kernel(taus, step, bh, halo, wp, n_blocks,
+                          smooth_outside)
+    rows = bh + 2 * halo
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((bh, wp), lambda i, *_: (i, 0))
+                   for _ in range(4)],
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, wp), jnp.float32),
+            pltpu.VMEM((2, rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+                   for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(ikc, jnp.float32).reshape(1), srcp, smp)
+    L, det, lx, ly = outs
+    sl = (slice(0, h), slice(halo, halo + w))
+    return L[sl], det[sl], lx[sl], ly[sl]

@@ -61,11 +61,15 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
         sdtype = (jnp.bfloat16
                   if (use_pallas or (not fixed and plan.config.bf16_sampling))
                   else None)
-        pp = build_padded_pyramid(octaves, WSIZE, dtype=sdtype)
+        # the kernel path prebakes the window-DMA overhang into the one
+        # padding pass (a second full-pyramid pad cost ~0.4 ms at 1.2 MPix)
+        extra = (8, 128) if use_pallas else (0, 0)
+        pp = build_padded_pyramid(octaves, WSIZE, dtype=sdtype, extra=extra)
         if use_pallas:
             from .descriptor import orient_describe_pallas
             angle, desc = orient_describe_pallas(
-                kps, pp, plan, interpret=(mode == "interpret"))
+                kps, pp, plan, interpret=(mode == "interpret"),
+                slack=extra)
         else:
             wnd = extract_windows(kps, pp, plan)
             angle = compute_orientation(kps, wnd, plan, fixed)

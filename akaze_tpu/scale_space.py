@@ -88,6 +88,16 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
     deriv_fn = scaled_derivatives_fixed if fixed else scaled_derivatives
     hess_fn = hessian_determinant_fixed if fixed else hessian_determinant
 
+    # fused Pallas sublevel kernel (float path, PM_G2 only): one VMEM pass
+    # per sublevel instead of ~8 HBM-bound XLA stencils
+    from .config import Diffusivity
+    mode = cfg.pallas_scale_space
+    use_fused = (not fixed and cfg.diffusivity == Diffusivity.PM_G2
+                 and (mode in ("on", "interpret")
+                      or (mode == "auto"
+                          and jax.default_backend() == "tpu")))
+    fused_interp = mode == "interpret"
+
     octaves: List[OctaveData] = []
     kcontrast = None
     prev_L_last = None
@@ -121,11 +131,35 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                 else:
                     kcontrast = kcontrast * jnp.float32(0.75)
                     dst, smooth = down_with_smooth(prev_L_last)
+                if use_fused:
+                    from .ops.pallas_sublevel import fused_sublevel
+                    ikc = 1.0 / (kcontrast * kcontrast)
+                    L, det, lx, ly = fused_sublevel(
+                        dst, ikc, sp.taus, sp.sigma_size, smooth=smooth,
+                        interpret=fused_interp)
+                    Ls.append(L)
+                    dets.append(det)
+                    lxs.append(lx)
+                    lys.append(ly)
+                    L_prev = L
+                    continue
                 flow = conduct_fn(smooth, cfg.diffusivity, kcontrast)
                 L = _diffuse(dst, flow, sp.taus, fixed)
             else:
                 # Next sublevel (akaze.cpp:393-420): sigma=1 smooth of the
                 # previous L, conductivity, diffuse.
+                if use_fused:
+                    from .ops.pallas_sublevel import fused_sublevel
+                    ikc = 1.0 / (kcontrast * kcontrast)
+                    L, det, lx, ly = fused_sublevel(
+                        L_prev, ikc, sp.taus, sp.sigma_size,
+                        interpret=fused_interp)
+                    Ls.append(L)
+                    dets.append(det)
+                    lxs.append(lx)
+                    lys.append(ly)
+                    L_prev = L
+                    continue
                 smooth = lowpass_fn(L_prev, 1.0, 5)
                 flow = conduct_fn(smooth, cfg.diffusivity, kcontrast)
                 L = _diffuse(L_prev, flow, sp.taus, fixed)

@@ -1,0 +1,91 @@
+"""Parity of the fused Pallas scale-space sublevel kernel (interpret mode
+on CPU) against the XLA ops it replaces."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from akaze_tpu import AkazeConfig
+from akaze_tpu.plan import build_plan
+from akaze_tpu.scale_space import build_scale_space
+from akaze_tpu.config import Diffusivity
+
+
+def _build(img, mode, **cfg_kw):
+    cfg_kw.setdefault("noctaves", 2)
+    cfg = AkazeConfig(max_pts=128, pallas_scale_space=mode, **cfg_kw)
+    plan = build_plan(*img.shape, cfg)
+    octs, kc = build_scale_space(jnp.asarray(img), plan)
+    return octs, float(kc), plan
+
+
+def assert_octaves_close(a, b, plan, atol):
+    """L/lx/ly must match everywhere; det everywhere except the
+    <= 2*step+2 border band, where the fused kernel's halo carries the
+    analytic continuation of lx/ly while the XLA op reflect-pads the
+    derivative PLANE (an odd function flips sign under reflection).  That
+    band lies outside the extrema search borders (smax*sigma >= 28 px), so
+    detection semantics are identical; the interior is asserted tightly."""
+    for oa, ob, oplan in zip(a, b, plan.octaves):
+        for name in ("L", "lx", "ly"):
+            va = np.asarray(getattr(oa, name))
+            vb = np.asarray(getattr(ob, name))
+            scale = max(np.abs(vb).max(), 1e-6)
+            np.testing.assert_allclose(va, vb, atol=atol * scale,
+                                       err_msg=name)
+        for si, sp in enumerate(oplan.scales):
+            m = 2 * sp.sigma_size + 2
+            va = np.asarray(oa.det[si])[m:-m, m:-m]
+            vb = np.asarray(ob.det[si])[m:-m, m:-m]
+            scale = max(np.abs(vb).max(), 1e-6)
+            np.testing.assert_allclose(va, vb, atol=atol * scale,
+                                       err_msg=f"det s{si}")
+
+
+def test_fused_matches_xla_all_planes(test_image):
+    """Every plane of every sublevel (both octaves: the in-kernel-smooth
+    AND the smooth-outside octave-start variants) matches the XLA ops to
+    float precision, borders included."""
+    octs_x, kc_x, plan = _build(test_image, "off")
+    octs_p, kc_p, _ = _build(test_image, "interpret")
+    assert kc_x == kc_p          # contrast stays on the XLA path
+    # FMA contraction inside the kernel vs XLA's op-by-op evaluation gives
+    # tiny relative drift; 1e-5 of the plane max catches any real
+    # border/halo/indexing bug while tolerating contraction differences
+    assert_octaves_close(octs_p, octs_x, plan, atol=1e-5)
+
+
+def test_fused_odd_sizes(test_image):
+    """Non-multiple-of-block heights and odd widths (border + block-tail
+    reflect handling)."""
+    img = test_image[:187, :251]
+    octs_x, _, plan = _build(img, "off", noctaves=1)
+    octs_p, _, _ = _build(img, "interpret", noctaves=1)
+    assert_octaves_close(octs_p, octs_x, plan, atol=1e-5)
+
+
+def test_fused_falls_back_for_other_diffusivities(test_image):
+    """Non-PM_G2 diffusivities must take the XLA path (identical results
+    whatever the mode)."""
+    octs_a, _, _ = _build(test_image, "interpret",
+                          diffusivity=Diffusivity.WEICKERT)
+    octs_b, _, _ = _build(test_image, "off",
+                          diffusivity=Diffusivity.WEICKERT)
+    for oa, ob in zip(octs_a, octs_b):
+        np.testing.assert_array_equal(np.asarray(oa.det),
+                                      np.asarray(ob.det))
+
+
+def test_fused_fixed_path_unchanged(test_image):
+    """The fixed-point path always uses the XLA ops."""
+    img = (test_image * 255).astype(np.int32)
+    cfg = AkazeConfig(max_pts=128, noctaves=2,
+                      pallas_scale_space="interpret")
+    plan = build_plan(*img.shape, cfg)
+    octs_p, _ = build_scale_space(jnp.asarray(img), plan, fixed=True)
+    cfg2 = AkazeConfig(max_pts=128, noctaves=2, pallas_scale_space="off")
+    plan2 = build_plan(*img.shape, cfg2)
+    octs_x, _ = build_scale_space(jnp.asarray(img), plan2, fixed=True)
+    for oa, ob in zip(octs_p, octs_x):
+        np.testing.assert_array_equal(np.asarray(oa.det),
+                                      np.asarray(ob.det))
