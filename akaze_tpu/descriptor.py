@@ -34,6 +34,9 @@ from .plan import PipelinePlan
 
 H_PI = math.pi / 2.0
 
+# keypoints per Pallas descriptor kernel block (A/B-tunable)
+KB = 24
+
 # Window big enough for the worst-case sampling radius:
 # descriptor |offset| <= scale * 10 * sqrt(2) + 1.5 <= 58.1 for scale 4
 # (sigma_size of the largest sublevel); orientation |offset| <= 5*scale + 1.
@@ -430,7 +433,7 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
                         isc_f, zero_f], axis=1)
         return ip, fp
 
-    kb = 24
+    kb = KB
     rem = (-n) % kb
     n_bands = len(_SCALE_BANDS)
 

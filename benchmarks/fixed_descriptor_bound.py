@@ -25,13 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def compare(left, right, mode_a="off", mode_b="auto"):
+def compare(left, right, mode_a="off", mode_b="auto", max_pts=6000):
     from akaze_tpu import Akaze, AkazeConfig
 
     out = {}
     feats = {}
     for tag, mode in (("faithful", mode_a), ("pallas", mode_b)):
-        det = Akaze(AkazeConfig(max_pts=10000, pallas_descriptor=mode),
+        det = Akaze(AkazeConfig(max_pts=max_pts, pallas_descriptor=mode),
                     fixed=True)
         fa = det.detect_and_compute(left)
         fb = det.detect_and_compute(right)
@@ -44,8 +44,10 @@ def compare(left, right, mode_a="off", mode_b="auto"):
     assert int(fa1.count) == n, "detection must be identical"
 
     def bitflips(w0, w1, n):
-        b0 = np.unpackbits(np.asarray(w0)[:n].view(np.uint8), axis=1)
-        b1 = np.unpackbits(np.asarray(w1)[:n].view(np.uint8), axis=1)
+        b0 = np.unpackbits(np.ascontiguousarray(
+            np.asarray(w0)[:n]).view(np.uint8), axis=1)
+        b1 = np.unpackbits(np.ascontiguousarray(
+            np.asarray(w1)[:n]).view(np.uint8), axis=1)
         d = (b0 != b1).sum(axis=1)
         return d
 
