@@ -13,7 +13,7 @@ from .pipeline import Akaze, Features, detect_and_compute, features_to_numpy
 from .plan import PipelinePlan, build_plan
 from .match import Matches, match, hamming_distance_matrix
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "AkazeConfig", "Diffusivity", "Akaze", "Features", "detect_and_compute",

@@ -39,6 +39,10 @@ class SlamConfig:
     odom_weight: float = 1.0
     optimize_every: int = 4        # run PGO every N new keyframes
     loop_candidates: int = 4       # keyframes fully matched per new keyframe
+    local_ba_every: int = 0        # run windowed BA every N new keyframes
+    #                                (0 = only on explicit calls)
+    local_ba_window: int = 5       # keyframes per local BA window
+    local_ba_points: int = 512     # landmark capacity per local BA
 
 
 @partial(jax.jit, static_argnames=("max_dist",))
@@ -209,6 +213,11 @@ class SlamSystem:
                 if self._since_opt >= self.cfg.optimize_every:
                     self.optimize()
                     self._since_opt = 0
+                if (self.cfg.local_ba_every
+                        and (new_idx + 1) % self.cfg.local_ba_every == 0):
+                    self.local_bundle_adjust(
+                        window=self.cfg.local_ba_window,
+                        max_pts=self.cfg.local_ba_points)
         return pose
 
     def optimize(self, iters: int = 10):

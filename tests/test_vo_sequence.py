@@ -64,6 +64,46 @@ def test_slam_system_runs_and_optimizes(rng):
         assert meta["n_edges"] == len(sys_.edges)
 
 
+def test_local_ba_triggers_in_processing_loop(rng, monkeypatch):
+    """local_ba_every wires windowed BA into SlamSystem.process: the
+    refinement fires on the configured keyframe cadence."""
+    from akaze_tpu.slam import SlamSystem, SlamConfig
+    from akaze_tpu.slam.odometry import Keyframe
+    from akaze_tpu.pipeline import Features
+    import jax.numpy as jnp
+
+    intr = Intrinsics(fx=200.0, fy=200.0, cx=112.0, cy=80.0)
+    sys_ = SlamSystem(intr, AkazeConfig(max_pts=64, noctaves=1),
+                      SlamConfig(optimize_every=100, local_ba_every=2,
+                                 min_loop_gap=100))
+    calls = []
+    monkeypatch.setattr(sys_, "local_bundle_adjust",
+                        lambda **kw: calls.append(kw) or 0.0)
+
+    def fake_feats(k):
+        z = jnp.zeros(64)
+        return Features(x=z, y=z, size=z, layer=jnp.zeros(64, jnp.int32),
+                        response=z, angle=z,
+                        words=jnp.zeros((64, 16), jnp.uint32),
+                        valid=jnp.zeros(64, bool), count=jnp.int32(0))
+
+    # drive process() with a stubbed VO that makes every frame a keyframe
+    def fake_process(image):
+        k = len(sys_.vo.keyframes)
+        R = np.eye(3, dtype=np.float32)
+        t = np.asarray([0.1 * k, 0.0, 0.0], np.float32)
+        sys_.vo.keyframes.append(Keyframe(k, fake_feats(k), R, t))
+        return R, t
+
+    monkeypatch.setattr(sys_.vo, "process", fake_process)
+    monkeypatch.setattr(sys_, "_try_loop_closure", lambda i: None)
+    for k in range(6):
+        sys_.process(np.zeros((8, 8), np.float32))
+    # keyframes 1,3,5 are the 2nd/4th/6th: BA fires on indices 1, 3, 5
+    assert len(calls) == 3
+    assert all(kw["window"] == sys_.cfg.local_ba_window for kw in calls)
+
+
 @pytest.mark.slow
 def test_slam_local_ba(rng):
     """Local BA over the keyframe window runs and returns a finite cost
