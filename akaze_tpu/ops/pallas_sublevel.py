@@ -41,12 +41,12 @@ from .conv import gauss_half_kernel
 from .scharr import SCHARR_FAC1, SCHARR_FAC2
 
 
-def _halo_for(step: int, n_taus: int) -> int:
+def _halo_for(step: int, n_taus: int, smooth_radius: int = 2) -> int:
     """Vertical/horizontal stencil reach of one fused sublevel:
     det needs smooth +-2*step (two dilated derivative passes) and smooth
-    needs the input +-2; the FED chain needs flow +-(n-1) -> smooth
-    +-n -> input +-(n + 2)."""
-    reach = max(2 * step + 2, n_taus + 3)
+    needs the input +-smooth_radius; the FED chain needs flow +-(n-1) ->
+    smooth +-n -> input +-(n + smooth_radius + 1)."""
+    reach = max(2 * step + smooth_radius, n_taus + smooth_radius + 1)
     return -(-reach // 8) * 8  # sublane-aligned
 
 
@@ -69,14 +69,15 @@ def _shift(x, dy: int, dx: int):
     return _roll_y(_roll_x(x, dx), dy)
 
 
-def _sep_conv_r2(x, k):
-    """Radius-2 separable Gaussian, identical expression order to
+def _sep_conv(x, k):
+    """Separable Gaussian (any radius), identical expression order to
     ops/conv.py:_row_pass/_col_pass."""
+    r = len(k) - 1
     row = k[0] * x
-    for i in (1, 2):
+    for i in range(1, r + 1):
         row = row + k[i] * (_roll_x(x, -i) + _roll_x(x, i))
     out = k[0] * row
-    for i in (1, 2):
+    for i in range(1, r + 1):
         out = out + k[i] * (_roll_y(row, -i) + _roll_y(row, i))
     return out
 
@@ -118,9 +119,12 @@ def _nld_step(img, flow, tau: float):
 
 
 def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
-                 n_blocks: int, smooth_outside: bool):
+                 n_blocks: int, smooth_outside: bool,
+                 smooth_var: float = 1.0, smooth_radius: int = 2,
+                 first_sublevel: bool = False):
     rows = bh + 2 * halo
-    k = tuple(float(np.float32(v)) for v in gauss_half_kernel(1.0, 2))
+    k = tuple(float(np.float32(v))
+              for v in gauss_half_kernel(smooth_var, smooth_radius))
 
     def kernel(ikc_ref,      # prefetch [1] f32: 1 / kcontrast^2 (SMEM)
                src_ref,      # [Hp, wp] f32 padded L_prev (HBM)
@@ -162,18 +166,23 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
         if smooth_outside:
             smooth = sbuf[slot]
         else:
-            smooth = _sep_conv_r2(src, k)
+            smooth = _sep_conv(src, k)
 
-        # PM_G2 flow (gFlowNaive)
-        gx, gy = _scharr_xy(smooth, 1)
-        dif2 = ikc_ref[0] * (gx * gx + gy * gy)
-        flow = 1.0 / (1.0 + dif2)
+        if taus:
+            # PM_G2 flow (gFlowNaive)
+            gx, gy = _scharr_xy(smooth, 1)
+            dif2 = ikc_ref[0] * (gx * gx + gy * gy)
+            flow = 1.0 / (1.0 + dif2)
 
-        # FED chain (halo shrinks one row/col per step; outputs stay valid
-        # because halo >= n_taus + 2)
-        L = src
-        for tau in taus:
-            L = _nld_step(L, flow, tau)
+            # FED chain (halo shrinks one row/col per step; outputs stay
+            # valid because halo >= n_taus + smooth_radius)
+            L = src
+            for tau in taus:
+                L = _nld_step(L, flow, tau)
+        else:
+            # first sublevel: L IS the base smooth (akaze.cpp:325-332);
+            # zero-tau interior sublevels keep the source unchanged
+            L = smooth if first_sublevel else src
 
         lx, ly = _scaled_deriv(smooth, step)
         # Hessian determinant (same dilated stencil on lx/ly)
@@ -214,9 +223,12 @@ def _pad_reflect(x, halo: int, bot_halo: int, wp: int):
     return jnp.pad(xh, ((0, 0), (0, wp - xh.shape[1])))
 
 
-@partial(jax.jit, static_argnames=("taus", "step", "interpret"))
+@partial(jax.jit, static_argnames=("taus", "step", "interpret",
+                                   "smooth_var", "smooth_radius",
+                                   "first_sublevel"))
 def fused_sublevel(src, ikc, taus, step: int, smooth=None,
-                   interpret: bool = False):
+                   interpret: bool = False, smooth_var: float = 1.0,
+                   smooth_radius: int = 2, first_sublevel: bool = False):
     """One scale-space sublevel, fused.
 
     Args:
@@ -227,12 +239,14 @@ def fused_sublevel(src, ikc, taus, step: int, smooth=None,
       step: static sigma_size for the derivative stencils.
       smooth: optional [H, W] f32 precomputed sigma-1 smooth (octave-start
         sublevels get it from down_with_smooth); computed in-kernel
-        otherwise.
+        otherwise with a Gaussian of (smooth_var, smooth_radius).
+      first_sublevel: L output = the in-kernel smooth (the base lowpass of
+        akaze.cpp:325-332) instead of the diffused source.
 
     Returns (L, det, lx, ly), each [H, W] f32.
     """
     h, w = src.shape
-    halo = _halo_for(step, len(taus))
+    halo = _halo_for(step, len(taus), smooth_radius)
     bh = 64 if h >= 64 else max(8, -(-h // 8) * 8)
     n_blocks = -(-h // bh)
     hp = n_blocks * bh
@@ -246,7 +260,8 @@ def fused_sublevel(src, ikc, taus, step: int, smooth=None,
     smp = _pad_reflect(smooth, halo, bot, wp) if smooth_outside else srcp
 
     kernel = _make_kernel(taus, step, bh, halo, wp, n_blocks,
-                          smooth_outside)
+                          smooth_outside, smooth_var, smooth_radius,
+                          first_sublevel)
     rows = bh + 2 * halo
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -119,6 +119,21 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                     kcontrast = percentile_contrast(mag, cfg.per)
                 var = soffset * soffset
                 ksz = 2 * math.ceil((soffset - 0.8) / 0.3) + 3
+                if use_fused:
+                    from .ops.conv import radius_for_ksize
+                    from .ops.pallas_sublevel import fused_sublevel
+                    ikc = 1.0 / (kcontrast * kcontrast)  # unused: no taus
+                    L, det, lx, ly = fused_sublevel(
+                        image, ikc, (), sp.sigma_size,
+                        smooth_var=var,
+                        smooth_radius=radius_for_ksize(ksz),
+                        first_sublevel=True, interpret=fused_interp)
+                    Ls.append(L)
+                    dets.append(det)
+                    lxs.append(lx)
+                    lys.append(ly)
+                    L_prev = L
+                    continue
                 L = lowpass_fn(image, var, ksz)
                 smooth = L  # smooth = copy of nldimg (akaze.cpp:332)
             elif sp.scale == 0:
