@@ -80,7 +80,10 @@ def main(argv=None):
     def detect_pair(pair):
         f1 = detect_and_compute(pair[0], plan, det.fixed)
         f2 = detect_and_compute(pair[1], plan, det.fixed)
-        return f1.x[0] + f2.x[0]
+        # the scalar must depend on the DESCRIPTORS too, or XLA dead-code
+        # eliminates the describe stage out of the timed scan
+        return (f1.x[0] + f2.x[0]
+                + (f1.words[0, 0] + f2.words[0, 0]).astype(jnp.float32))
 
     def match_once(ws, v1, v2, x2, y2):
         mm = match_fn(ws[0], v1, ws[1], v2, x2, y2, det.config.max_dist)
