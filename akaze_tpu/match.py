@@ -87,12 +87,20 @@ def match(words1, valid1, words2, valid2, x2, y2,
             s1 = jnp.pad(s1, ((0, p1), (0, 0)))
         if p2:
             s2 = jnp.pad(s2, ((0, p2), (0, 0)))
-        # valid slots are a prefix (detect.select_keypoints), so the
-        # kernel's work can scale with the live counts, not the capacity
+        # the kernel scans up to the LAST live row (+1), so work scales
+        # with the live extent, not the slot capacity.  For the usual
+        # prefix-compacted sets (detect.select_keypoints) this equals the
+        # live count; for gathered multi-source train sets (prefix per
+        # shard after sharded_match's all_gather) it still covers every
+        # live row — bounding by sum(valid) silently skipped the tail.
+        def last_live(v):
+            n = v.shape[0]
+            return jnp.max(jnp.where(
+                v, jnp.arange(1, n + 1, dtype=jnp.int32), 0))
         best, second, bidx = hamming_top2(
             s1, s2,
-            count1=jnp.sum(valid1.astype(jnp.int32)),
-            count2=jnp.sum(valid2.astype(jnp.int32)),
+            count1=last_live(valid1),
+            count2=last_live(valid2),
             interpret=(use_pallas == "interpret"))
         best = best[:n1]
         second = second[:n1]

@@ -37,18 +37,20 @@ BIG = 1.0e9
 def _make_kernel(n2pad: int):
     n_tblocks = n2pad // TB
 
-    def kernel(counts_ref,  # prefetch [2] i32: live query / train counts
+    def kernel(counts_ref,  # prefetch [2] i32: query/train last-live-row+1
                q_ref,      # [QB, LANES] bf16 query signed-bits block
                t_ref,      # [n2pad, LANES] bf16 train signed bits (VMEM)
                best_ref,   # out [QB, 128] f32 (lane 0)
                second_ref,  # out [QB, 128] f32
                idx_ref):   # out [QB, 128] i32
 
-        # work scales with the LIVE counts, not the slot capacity: query
-        # blocks past the valid prefix skip compute entirely, and the
-        # train loop stops at the last live train block (zero rows beyond
-        # the count can never win: pseudo-distance 243 >= MAX_DIST, and
-        # results for dead query slots are rejected by valid1 upstream)
+        # work scales with the LIVE extents, not the slot capacity: query
+        # blocks wholly past the last live query skip compute entirely,
+        # and the train loop stops after the block holding the last live
+        # train row.  Dead rows before that bound are zeroed signed-bits
+        # (pseudo-distance 243 >= MAX_DIST, can never win) and dead query
+        # slots are rejected by valid1 upstream, so non-prefix validity
+        # (e.g. gathered multi-shard train sets) is handled correctly.
         q_live = pl.program_id(0) * QB < counts_ref[0]
         n_live_tblocks = jnp.minimum(
             (counts_ref[1] + (TB - 1)) // TB, n_tblocks)
@@ -105,9 +107,9 @@ def hamming_top2(s1, s2, count1=None, count2=None, interpret: bool = False):
       s1: [N1, 512] bf16 signed query bits (N1 % 128 == 0).
       s2: [N2, 512] bf16 signed train bits, invalid rows zeroed
         (N2 % 128 == 0).
-      count1/count2: live row counts (valid rows form a prefix); work
-        scales with the counts instead of the slot capacities.  Defaults
-        to the capacities.
+      count1/count2: index of the last live row + 1 (pass the live count
+        for prefix-compacted sets); work scales with these extents instead
+        of the slot capacities.  Defaults to the capacities.
 
     Returns (best [N1] f32, second [N1] f32, index [N1] i32).
     """

@@ -105,3 +105,36 @@ class TestPallasMatcher:
                                       np.asarray(pal.distance))
         assert int(ref.index[3]) == 10
         assert int(ref.index[7]) == -1  # tie rejected
+
+    def test_non_prefix_validity(self, rng):
+        """Gathered multi-source train sets have prefix-per-shard (not
+        global-prefix) validity; the kernel must scan to the LAST live row,
+        not sum(valid) rows (r2 verdict: latent wrong-match bug)."""
+        import jax.numpy as jnp
+        n1, n2 = 256, 1152  # live train rows beyond ceil(sum/TB) blocks
+        w1 = rng.integers(0, 2**32, (n1, 16), dtype=np.uint64).astype(
+            np.uint32)
+        w2 = rng.integers(0, 2**32, (n2, 16), dtype=np.uint64).astype(
+            np.uint32)
+        w1[:, 15] &= np.uint32((1 << 6) - 1)
+        w2[:, 15] &= np.uint32((1 << 6) - 1)
+        v1 = np.zeros(n1, bool)
+        v1[:50] = True
+        v1[200] = True              # live query beyond sum(valid1)=51
+        v2 = np.zeros(n2, bool)
+        v2[:100] = True             # shard-0 prefix
+        v2[1100:1150] = True        # shard-N prefix: sum(valid2)=150 < 512
+        w2[1100] = w1[200]          # its match lives in the far tail
+        w2[1120] = w1[3]
+        x2 = np.arange(n2, dtype=np.float32)
+        y2 = x2 + 0.5
+        args = (jnp.asarray(w1), jnp.asarray(v1), jnp.asarray(w2),
+                jnp.asarray(v2), jnp.asarray(x2), jnp.asarray(y2), 96)
+        ref = match(*args, use_pallas="off")
+        pal = match(*args, use_pallas="interpret")
+        assert int(ref.index[200]) == 1100
+        assert int(ref.index[3]) == 1120
+        np.testing.assert_array_equal(np.asarray(ref.index),
+                                      np.asarray(pal.index))
+        np.testing.assert_array_equal(np.asarray(ref.distance),
+                                      np.asarray(pal.distance))
