@@ -22,8 +22,10 @@ derivative plane (sign flip for an odd function) — a band that lies
 strictly inside the extrema-search border (smax * sigma_size >= 28 px),
 so detection results are unaffected.
 
-Float path, PM_G2 diffusivity (the demo configuration); the fixed-point
-path and other diffusivities use the XLA ops unchanged.
+Float path and the 16.16 fixed-point path (``fixed=True``: int adds/
+shifts for conv+FED, float conductivity stored x65536 as
+akazed.cu:3432-3445), all four diffusivities (expression order matches
+ops/diffusion.py:_conductivity_from_dif2).
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import Diffusivity
 from .conv import gauss_half_kernel
 from .scharr import SCHARR_FAC1, SCHARR_FAC2
 
@@ -82,6 +85,21 @@ def _sep_conv(x, k):
     return out
 
 
+def _sep_conv_fixed(x, k):
+    """16.16 separable Gaussian with the reference's per-pass truncation
+    (ops/conv.py:sep_conv2d_fixed; akazed.cu:2812-2850): horizontal pass,
+    >>16, vertical pass, >>16."""
+    r = len(k) - 1
+    row = k[0] * x
+    for i in range(1, r + 1):
+        row = row + k[i] * (_roll_x(x, -i) + _roll_x(x, i))
+    row = row >> 16
+    out = k[0] * row
+    for i in range(1, r + 1):
+        out = out + k[i] * (_roll_y(row, -i) + _roll_y(row, i))
+    return out >> 16
+
+
 def _scharr_xy(x, step: int):
     """Unnormalized Scharr gradients (ops/scharr.py:scharr_gradient_xy)."""
     def v(dy, dx):
@@ -118,13 +136,59 @@ def _nld_step(img, flow, tau: float):
     return img + float(np.float32(0.5) * np.float32(tau)) * step
 
 
+def _nld_step_fixed(img, flow, tau: float):
+    """ops/diffusion.py:nld_step_fixed (akazed.cu:3449-3473): int32
+    neighbourhood sum >>16, times the 16.16 step factor, >>16."""
+    sf = np.float32(0.5) * np.float32(tau) * np.float32(65536) \
+        + np.float32(0.5)
+    stepfac = int(np.int32(sf))
+    step = ((flow + _shift(flow, 0, 1)) * (_shift(img, 0, 1) - img)
+            + (flow + _shift(flow, 0, -1)) * (_shift(img, 0, -1) - img)
+            + (flow + _shift(flow, 1, 0)) * (_shift(img, 1, 0) - img)
+            + (flow + _shift(flow, -1, 0)) * (_shift(img, -1, 0) - img)) >> 16
+    return ((stepfac * step) >> 16) + img
+
+
+def _scaled_deriv_fixed(x, step: int):
+    """ops/scharr.py:scaled_derivatives_fixed (16.16 factors, >>16)."""
+    from .scharr import SCHARR_IFAC1, SCHARR_IFAC2
+
+    def v(dy, dx):
+        return _shift(x, dy * step, dx * step)
+
+    lx = (SCHARR_IFAC1 * (v(-1, 1) + v(1, 1) - v(-1, -1) - v(1, -1))
+          + SCHARR_IFAC2 * (v(0, 1) - v(0, -1))) >> 16
+    ly = (SCHARR_IFAC1 * (v(1, 1) + v(1, -1) - v(-1, 1) - v(-1, -1))
+          + SCHARR_IFAC2 * (v(1, 0) - v(-1, 0))) >> 16
+    return lx, ly
+
+
+def _flow_from_dif2(dif2, diffusivity: Diffusivity):
+    """Conductivity, expression-for-expression as
+    ops/diffusion.py:_conductivity_from_dif2 (gFlowNaive's four flavours,
+    akazed.cu:1091-1106)."""
+    if diffusivity == Diffusivity.PM_G1:
+        return jnp.exp(-dif2)
+    if diffusivity == Diffusivity.PM_G2:
+        return 1.0 / (1.0 + dif2)
+    if diffusivity == Diffusivity.WEICKERT:
+        return 1.0 - jnp.exp(-3.315 / (dif2 ** 4))
+    return 1.0 / jnp.sqrt(1.0 + dif2)
+
+
 def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
                  n_blocks: int, smooth_outside: bool,
                  smooth_var: float = 1.0, smooth_radius: int = 2,
-                 first_sublevel: bool = False):
+                 first_sublevel: bool = False,
+                 diffusivity: Diffusivity = Diffusivity.PM_G2,
+                 fixed: bool = False):
     rows = bh + 2 * halo
-    k = tuple(float(np.float32(v))
-              for v in gauss_half_kernel(smooth_var, smooth_radius))
+    if fixed:
+        from .conv import gauss_half_kernel_fixed
+        k = gauss_half_kernel_fixed(smooth_var, smooth_radius)
+    else:
+        k = tuple(float(np.float32(v))
+                  for v in gauss_half_kernel(smooth_var, smooth_radius))
 
     def kernel(ikc_ref,      # prefetch [1] f32: 1 / kcontrast^2 (SMEM)
                src_ref,      # [Hp, wp] f32 padded L_prev (HBM)
@@ -165,29 +229,41 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
         src = buf[slot]
         if smooth_outside:
             smooth = sbuf[slot]
+        elif fixed:
+            smooth = _sep_conv_fixed(src, k)
         else:
             smooth = _sep_conv(src, k)
 
         if taus:
-            # PM_G2 flow (gFlowNaive)
+            # conductivity flow (gFlowNaive; fixed: int Scharr, float
+            # conductivity stored x65536 rounded, akazed.cu:3432-3445)
             gx, gy = _scharr_xy(smooth, 1)
-            dif2 = ikc_ref[0] * (gx * gx + gy * gy)
-            flow = 1.0 / (1.0 + dif2)
+            if fixed:
+                dif2 = (gx * gx + gy * gy).astype(jnp.float32) * ikc_ref[0]
+                flow = (_flow_from_dif2(dif2, diffusivity)
+                        * 65536 + 0.5).astype(jnp.int32)
+            else:
+                dif2 = ikc_ref[0] * (gx * gx + gy * gy)
+                flow = _flow_from_dif2(dif2, diffusivity)
 
             # FED chain (halo shrinks one row/col per step; outputs stay
             # valid because halo >= n_taus + smooth_radius)
             L = src
             for tau in taus:
-                L = _nld_step(L, flow, tau)
+                L = (_nld_step_fixed if fixed else _nld_step)(L, flow, tau)
         else:
             # first sublevel: L IS the base smooth (akaze.cpp:325-332);
             # zero-tau interior sublevels keep the source unchanged
             L = smooth if first_sublevel else src
 
-        lx, ly = _scaled_deriv(smooth, step)
         # Hessian determinant (same dilated stencil on lx/ly)
-        f1 = float(np.float32(SCHARR_FAC1))
-        f2 = float(np.float32(SCHARR_FAC2))
+        if fixed:
+            from .scharr import SCHARR_IFAC1 as f1, SCHARR_IFAC2 as f2
+            lx, ly = _scaled_deriv_fixed(smooth, step)
+        else:
+            f1 = float(np.float32(SCHARR_FAC1))
+            f2 = float(np.float32(SCHARR_FAC2))
+            lx, ly = _scaled_deriv(smooth, step)
 
         def v(a, dy, dx):
             return _shift(a, dy * step, dx * step)
@@ -198,6 +274,8 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
                     - v(lx, -1, -1)) + f2 * (v(lx, 1, 0) - v(lx, -1, 0))
         dyy = f1 * (v(ly, 1, 1) + v(ly, 1, -1) - v(ly, -1, 1)
                     - v(ly, -1, -1)) + f2 * (v(ly, 1, 0) - v(ly, -1, 0))
+        if fixed:
+            dxx, dxy, dyy = dxx >> 16, dxy >> 16, dyy >> 16
         det = dxx * dyy - dxy * dxy
 
         L_ref[...] = L[halo:halo + bh, :]
@@ -206,6 +284,32 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
         ly_ref[...] = ly[halo:halo + bh, :]
 
     return kernel
+
+
+def _choose_block_height(h: int, halo: int):
+    """Largest 8-multiple block height <= 64 whose block-rounding tail
+    keeps the bottom reflect halo a single continued mirror
+    (h > hp - h + halo + 1).  Returns None when no block height works
+    (the plane is too small for the halo)."""
+    if h <= halo + 1:
+        return None
+    top = min(64, -(-h // 8) * 8)
+    for bh in range(top, 0, -8):
+        hp = -(-h // bh) * bh
+        if h > hp - h + halo + 1:
+            return bh
+    return None
+
+
+def fused_supported(h: int, w: int, taus, step: int,
+                    smooth_radius: int = 2) -> bool:
+    """Whether ``fused_sublevel`` can handle this plane: both reflect
+    halos must be single continued mirrors (ADVICE r2: heights just above
+    a block boundary used to trip the bottom-halo assert)."""
+    halo = _halo_for(step, len(taus), smooth_radius)
+    if w <= halo + 1:
+        return False
+    return _choose_block_height(h, halo) is not None
 
 
 def _pad_reflect(x, halo: int, bot_halo: int, wp: int):
@@ -225,10 +329,13 @@ def _pad_reflect(x, halo: int, bot_halo: int, wp: int):
 
 @partial(jax.jit, static_argnames=("taus", "step", "interpret",
                                    "smooth_var", "smooth_radius",
-                                   "first_sublevel"))
+                                   "first_sublevel", "diffusivity",
+                                   "fixed"))
 def fused_sublevel(src, ikc, taus, step: int, smooth=None,
                    interpret: bool = False, smooth_var: float = 1.0,
-                   smooth_radius: int = 2, first_sublevel: bool = False):
+                   smooth_radius: int = 2, first_sublevel: bool = False,
+                   diffusivity: Diffusivity = Diffusivity.PM_G2,
+                   fixed: bool = False):
     """One scale-space sublevel, fused.
 
     Args:
@@ -247,7 +354,11 @@ def fused_sublevel(src, ikc, taus, step: int, smooth=None,
     """
     h, w = src.shape
     halo = _halo_for(step, len(taus), smooth_radius)
-    bh = 64 if h >= 64 else max(8, -(-h // 8) * 8)
+    bh = _choose_block_height(h, halo)
+    if bh is None or w <= halo + 1:
+        raise ValueError(
+            f"plane {h}x{w} too small for halo {halo}; guard calls with "
+            f"fused_supported()")
     n_blocks = -(-h // bh)
     hp = n_blocks * bh
     wp = -(-(w + 2 * halo) // 128) * 128
@@ -261,8 +372,9 @@ def fused_sublevel(src, ikc, taus, step: int, smooth=None,
 
     kernel = _make_kernel(taus, step, bh, halo, wp, n_blocks,
                           smooth_outside, smooth_var, smooth_radius,
-                          first_sublevel)
+                          first_sublevel, diffusivity, fixed)
     rows = bh + 2 * halo
+    dtype = jnp.int32 if fixed else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -273,15 +385,15 @@ def fused_sublevel(src, ikc, taus, step: int, smooth=None,
         out_specs=[pl.BlockSpec((bh, wp), lambda i, *_: (i, 0))
                    for _ in range(4)],
         scratch_shapes=[
-            pltpu.VMEM((2, rows, wp), jnp.float32),
-            pltpu.VMEM((2, rows, wp), jnp.float32),
+            pltpu.VMEM((2, rows, wp), dtype),
+            pltpu.VMEM((2, rows, wp), dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), dtype)
                    for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -88,15 +88,22 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
     deriv_fn = scaled_derivatives_fixed if fixed else scaled_derivatives
     hess_fn = hessian_determinant_fixed if fixed else hessian_determinant
 
-    # fused Pallas sublevel kernel (float path, PM_G2 only): one VMEM pass
-    # per sublevel instead of ~8 HBM-bound XLA stencils
-    from .config import Diffusivity
+    # fused Pallas sublevel kernel (float AND 16.16 fixed flavours, all
+    # four diffusivities): one VMEM pass per sublevel instead of ~8
+    # HBM-bound XLA stencils.  Planes too small for the stencil halo fall
+    # back to the XLA ops per sublevel (fused_supported).
     mode = cfg.pallas_scale_space
-    use_fused = (not fixed and cfg.diffusivity == Diffusivity.PM_G2
-                 and (mode in ("on", "interpret")
-                      or (mode == "auto"
-                          and jax.default_backend() == "tpu")))
+    use_fused = (mode in ("on", "interpret")
+                 or (mode == "auto" and jax.default_backend() == "tpu"))
     fused_interp = mode == "interpret"
+    if use_fused:
+        from .ops.pallas_sublevel import fused_supported
+    diffusivity = cfg.diffusivity
+
+    def _ikc(kc):
+        if fixed:  # conductivity_fixed's expression order
+            return 1.0 / (kc * kc).astype(jnp.float32)
+        return 1.0 / (kc * kc)
 
     octaves: List[OctaveData] = []
     kcontrast = None
@@ -119,15 +126,17 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                     kcontrast = percentile_contrast(mag, cfg.per)
                 var = soffset * soffset
                 ksz = 2 * math.ceil((soffset - 0.8) / 0.3) + 3
-                if use_fused:
-                    from .ops.conv import radius_for_ksize
+                from .ops.conv import radius_for_ksize
+                if use_fused and fused_supported(
+                        *image.shape, (), sp.sigma_size,
+                        radius_for_ksize(ksz)):
                     from .ops.pallas_sublevel import fused_sublevel
-                    ikc = 1.0 / (kcontrast * kcontrast)  # unused: no taus
                     L, det, lx, ly = fused_sublevel(
-                        image, ikc, (), sp.sigma_size,
+                        image, _ikc(kcontrast), (), sp.sigma_size,
                         smooth_var=var,
                         smooth_radius=radius_for_ksize(ksz),
-                        first_sublevel=True, interpret=fused_interp)
+                        first_sublevel=True, interpret=fused_interp,
+                        fixed=fixed)
                     Ls.append(L)
                     dets.append(det)
                     lxs.append(lx)
@@ -146,12 +155,13 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                 else:
                     kcontrast = kcontrast * jnp.float32(0.75)
                     dst, smooth = down_with_smooth(prev_L_last)
-                if use_fused:
+                if use_fused and fused_supported(*dst.shape, sp.taus,
+                                                sp.sigma_size):
                     from .ops.pallas_sublevel import fused_sublevel
-                    ikc = 1.0 / (kcontrast * kcontrast)
                     L, det, lx, ly = fused_sublevel(
-                        dst, ikc, sp.taus, sp.sigma_size, smooth=smooth,
-                        interpret=fused_interp)
+                        dst, _ikc(kcontrast), sp.taus, sp.sigma_size,
+                        smooth=smooth, interpret=fused_interp,
+                        diffusivity=diffusivity, fixed=fixed)
                     Ls.append(L)
                     dets.append(det)
                     lxs.append(lx)
@@ -163,12 +173,13 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
             else:
                 # Next sublevel (akaze.cpp:393-420): sigma=1 smooth of the
                 # previous L, conductivity, diffuse.
-                if use_fused:
+                if use_fused and fused_supported(*L_prev.shape, sp.taus,
+                                                 sp.sigma_size):
                     from .ops.pallas_sublevel import fused_sublevel
-                    ikc = 1.0 / (kcontrast * kcontrast)
                     L, det, lx, ly = fused_sublevel(
-                        L_prev, ikc, sp.taus, sp.sigma_size,
-                        interpret=fused_interp)
+                        L_prev, _ikc(kcontrast), sp.taus, sp.sigma_size,
+                        interpret=fused_interp, diffusivity=diffusivity,
+                        fixed=fixed)
                     Ls.append(L)
                     dets.append(det)
                     lxs.append(lx)

@@ -64,28 +64,51 @@ def test_fused_odd_sizes(test_image):
     assert_octaves_close(octs_p, octs_x, plan, atol=1e-5)
 
 
-def test_fused_falls_back_for_other_diffusivities(test_image):
-    """Non-PM_G2 diffusivities must take the XLA path (identical results
-    whatever the mode)."""
-    octs_a, _, _ = _build(test_image, "interpret",
-                          diffusivity=Diffusivity.WEICKERT)
-    octs_b, _, _ = _build(test_image, "off",
-                          diffusivity=Diffusivity.WEICKERT)
-    for oa, ob in zip(octs_a, octs_b):
-        np.testing.assert_array_equal(np.asarray(oa.det),
-                                      np.asarray(ob.det))
+@pytest.mark.parametrize("flavour", [Diffusivity.PM_G1,
+                                     Diffusivity.WEICKERT,
+                                     Diffusivity.CHARBONNIER])
+def test_fused_other_diffusivities(test_image, flavour):
+    """All four conductivities run fused (r2 verdict: non-PM_G2 configs
+    silently forfeited the fused speedup); parity per flavour."""
+    img = test_image[:160, :208]
+    octs_x, _, plan = _build(img, "off", noctaves=1, diffusivity=flavour)
+    octs_p, _, _ = _build(img, "interpret", noctaves=1,
+                          diffusivity=flavour)
+    assert_octaves_close(octs_p, octs_x, plan, atol=1e-5)
 
 
-def test_fused_fixed_path_unchanged(test_image):
-    """The fixed-point path always uses the XLA ops."""
+def test_fused_small_heights(test_image):
+    """Heights just above a block boundary used to trip the bottom-halo
+    assert (r2 advisor finding); now the block height adapts or the
+    sublevel falls back to the XLA ops."""
+    for h in (65, 68):
+        img = test_image[:h, :]
+        octs_x, _, plan = _build(img, "off", noctaves=1)
+        octs_p, _, _ = _build(img, "interpret", noctaves=1)
+        assert_octaves_close(octs_p, octs_x, plan, atol=1e-5)
+
+
+def test_fused_fixed_parity(test_image):
+    """The 16.16 fixed-point fused kernel (r3: fastakaze's fast tier) is
+    BIT-exact against the XLA fixed ops on L/lx/ly everywhere and on det
+    outside the 2*step+2 border band (integer arithmetic: no FMA slack)."""
     img = (test_image * 255).astype(np.int32)
     cfg = AkazeConfig(max_pts=128, noctaves=2,
                       pallas_scale_space="interpret")
     plan = build_plan(*img.shape, cfg)
-    octs_p, _ = build_scale_space(jnp.asarray(img), plan, fixed=True)
+    octs_p, kc_p = build_scale_space(jnp.asarray(img), plan, fixed=True)
     cfg2 = AkazeConfig(max_pts=128, noctaves=2, pallas_scale_space="off")
     plan2 = build_plan(*img.shape, cfg2)
-    octs_x, _ = build_scale_space(jnp.asarray(img), plan2, fixed=True)
-    for oa, ob in zip(octs_p, octs_x):
-        np.testing.assert_array_equal(np.asarray(oa.det),
-                                      np.asarray(ob.det))
+    octs_x, kc_x = build_scale_space(jnp.asarray(img), plan2, fixed=True)
+    assert int(kc_p) == int(kc_x)
+    for oa, ob, oplan in zip(octs_p, octs_x, plan.octaves):
+        for name in ("L", "lx", "ly"):
+            np.testing.assert_array_equal(np.asarray(getattr(oa, name)),
+                                          np.asarray(getattr(ob, name)),
+                                          err_msg=name)
+        for si, sp in enumerate(oplan.scales):
+            m = 2 * sp.sigma_size + 2
+            np.testing.assert_array_equal(
+                np.asarray(oa.det[si])[m:-m, m:-m],
+                np.asarray(ob.det[si])[m:-m, m:-m],
+                err_msg=f"det s{si}")
