@@ -64,13 +64,18 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if jax._src.distributed.global_state.client is not None:  # already up
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():  # already up (public API)
         return True
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids)
+    except RuntimeError as e:  # older JAX: no is_initialized() probe
+        if "already initialized" not in str(e).lower():
+            raise
     return True
 
 
@@ -120,5 +125,5 @@ def process_local_batch(global_batch: int) -> int:
     """Per-process share of a globally-sized batch (data loading helper:
     each host feeds only its addressable shard)."""
     n = max(jax.process_count(), 1)
-    assert global_batch % n == 0, "global batch must divide process count"
+    assert global_batch % n == 0, "process count must divide global batch"
     return global_batch // n

@@ -38,3 +38,24 @@ def make_problem(n_cams: int = 5, n_pts: int = 48):
                      w=jnp.ones(len(cams), jnp.float32))
     X0 = X + rng.standard_normal(X.shape).astype(np.float32) * 0.04
     return jnp.asarray(R), jnp.asarray(t), jnp.asarray(X0), prob
+
+
+def make_frames(h: int = 96, w: int = 128, batch: int = 8):
+    """Deterministic structured frame-pair batch shared by the parent and
+    worker processes of the multi-process FRONT-END parity test: blobby
+    images (keypoint-rich) with small per-frame shifts."""
+    rng = np.random.default_rng(77)
+    hh, ww = h + 16, w + 16
+    yy, xx = np.mgrid[0:hh, 0:ww].astype(np.float64)
+    img = np.zeros((hh, ww))
+    for (cy, cx), s, a in zip(
+            np.stack([rng.uniform(10, hh - 10, 30),
+                      rng.uniform(10, ww - 10, 30)], -1),
+            rng.uniform(2, 7, 30), rng.uniform(0.3, 1.0, 30)):
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img += 0.05 * rng.standard_normal((hh, ww))
+    img = np.clip(img, 0, 1).astype(np.float32)
+    a = np.stack([img[i:i + h, i:i + w] for i in range(batch)])
+    b = np.stack([img[i + 3:i + 3 + h, i + 5:i + 5 + w]
+                  for i in range(batch)])
+    return a, b

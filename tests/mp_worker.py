@@ -85,6 +85,55 @@ def main():
     if pid == 0:
         np.savez(out, R=np.asarray(R1), t=np.asarray(t1),
                  X=np.asarray(X1rep), cost=float(c1))
+
+    # ---- r3: DP front-end with per-host feeding + the all-gather
+    # matcher across the process boundary (r2 verdict item #8) ----
+    from akaze_tpu import AkazeConfig
+    from akaze_tpu.plan import build_plan
+    from akaze_tpu.pipeline import detect_and_compute
+    from akaze_tpu.parallel import (make_mesh, dp_pipeline_step_multihost,
+                                    sharded_match, process_local_batch)
+    from mp_problem import make_frames
+
+    h, w = 96, 128
+    cfg = AkazeConfig(max_pts=256, noctaves=2)
+    plan = build_plan(h, w, cfg)
+    dmesh = make_mesh(8)
+    imgs_a, imgs_b = make_frames(h, w, 8)
+    lb = process_local_batch(8)          # 4 frames fed by THIS process
+    lo = pid * lb
+    fa, fb, m = dp_pipeline_step_multihost(
+        imgs_a[lo:lo + lb], imgs_b[lo:lo + lb], plan, dmesh)
+    jax.block_until_ready(m.index)
+
+    def local_rows(arr):
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], 0)
+
+    # cross-process matcher: each process feeds the 256-slot half built
+    # from ITS first local frame pair -> a gathered multi-source train
+    # set whose validity is prefix-per-shard, not a global prefix
+    fl_a = detect_and_compute(jnp.asarray(imgs_a[lo]), plan)
+    fl_b = detect_and_compute(jnp.asarray(imgs_b[lo]), plan)
+    sh = NamedSharding(dmesh, P("data"))
+
+    def mk(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    sm = sharded_match(mk(fl_a.words), mk(fl_a.valid), mk(fl_b.words),
+                       mk(fl_b.valid), mk(fl_b.x), mk(fl_b.y), dmesh,
+                       cfg.max_dist)
+    rep = jax.jit(lambda i, d: (i, d),
+                  out_shardings=NamedSharding(dmesh, P()))(
+        sm.index, sm.distance)
+    jax.block_until_ready(rep)
+
+    np.savez(f"{out}.front{pid}.npz",
+             x=local_rows(fa.x), count=local_rows(fa.count),
+             words=local_rows(fa.words), midx=local_rows(m.index),
+             sm_index=np.asarray(rep[0]), sm_dist=np.asarray(rep[1]))
+
     # all processes must stay alive until the collectives complete
     jax.distributed.shutdown()
     print(f"worker {pid} done", flush=True)

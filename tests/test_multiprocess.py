@@ -66,3 +66,44 @@ def test_two_process_landmark_ba_matches_single_process(tmp_path):
     np.testing.assert_allclose(got["X"], np.asarray(X1), atol=1e-4)
     np.testing.assert_allclose(got["cost"], float(c1), rtol=1e-4,
                                atol=1e-8)
+
+    # ---- front-end parity (r2 verdict item #8): the workers' DP
+    # detect+describe shards, fed per-host, must reassemble to the
+    # single-process DP result; the cross-process all-gather matcher must
+    # agree with the single-process matcher on the same gathered set ----
+    from mp_problem import make_frames
+    import jax.numpy as jnp
+    from akaze_tpu import AkazeConfig
+    from akaze_tpu.plan import build_plan
+    from akaze_tpu.pipeline import detect_and_compute
+    from akaze_tpu.match import match
+    from akaze_tpu.parallel import make_mesh, dp_pipeline_step
+
+    h, w = 96, 128
+    cfg = AkazeConfig(max_pts=256, noctaves=2)
+    plan = build_plan(h, w, cfg)
+    imgs_a, imgs_b = make_frames(h, w, 8)
+    fa, fb, m = dp_pipeline_step(imgs_a, imgs_b, plan, make_mesh(8))
+
+    f0 = np.load(f"{out}.front0.npz")
+    f1 = np.load(f"{out}.front1.npz")
+    np.testing.assert_array_equal(
+        np.concatenate([f0["count"], f1["count"]]), np.asarray(fa.count))
+    np.testing.assert_allclose(
+        np.concatenate([f0["x"], f1["x"]]), np.asarray(fa.x), atol=1e-3)
+    agree = (np.concatenate([f0["midx"], f1["midx"]])
+             == np.asarray(m.index)).mean()
+    assert agree > 0.99  # near-tie matches may flip across fusion orders
+
+    # single-process reference for the gathered matcher: the same
+    # two-frame halves each worker fed (frames 0 and 4)
+    qs = [detect_and_compute(jnp.asarray(imgs_a[p * 4]), plan)
+          for p in (0, 1)]
+    ts = [detect_and_compute(jnp.asarray(imgs_b[p * 4]), plan)
+          for p in (0, 1)]
+    cat = lambda fs, k: jnp.concatenate([getattr(f, k) for f in fs])
+    ref_m = match(cat(qs, "words"), cat(qs, "valid"), cat(ts, "words"),
+                  cat(ts, "valid"), cat(ts, "x"), cat(ts, "y"),
+                  cfg.max_dist)
+    np.testing.assert_array_equal(f0["sm_index"], np.asarray(ref_m.index))
+    np.testing.assert_allclose(f0["sm_dist"], np.asarray(ref_m.distance))

@@ -200,3 +200,23 @@ def test_sharded_match_equals_local(mesh8):
                                   np.asarray(shard.index))
     np.testing.assert_array_equal(np.asarray(local.distance),
                                   np.asarray(shard.distance))
+
+
+def test_dp_step_dispatches_pallas_kernels(mesh8):
+    """r2 verdict top item: the DP front-end must run the flagship Pallas
+    kernels per device (shard_map of the UNBATCHED program), not the vmap
+    + XLA fallback.  Pin pallas_call in the traced program: fused
+    scale-space sublevels + descriptor + matcher."""
+    from akaze_tpu.parallel import make_dp_step
+    h, w = 112, 128
+    cfg = AkazeConfig(max_pts=256, noctaves=2, pallas_descriptor="on",
+                      pallas_scale_space="on")
+    plan = build_plan(h, w, cfg)
+    step = make_dp_step(plan, mesh8, match_pallas="on")
+    jaxpr = jax.make_jaxpr(step)(
+        jnp.zeros((8, h, w), jnp.float32),
+        jnp.zeros((8, h, w), jnp.float32))
+    s = str(jaxpr)
+    # >= 3 distinct dispatch sites: sublevel kernel(s), the fused
+    # orientation+descriptor kernel, and the Hamming top-2 matcher
+    assert s.count("pallas_call") >= 3, s.count("pallas_call")
