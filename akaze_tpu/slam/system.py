@@ -277,28 +277,100 @@ class SlamSystem:
 
     # --- persistence -----------------------------------------------------
 
+    _FEAT_FIELDS = ("x", "y", "size", "layer", "response", "angle",
+                    "words", "valid", "count")
+
     def save(self, path: str):
+        """Full map checkpoint: keyframe poses + DESCRIPTOR SETS + the
+        per-frame trajectory + pose-graph edges (measurements included) +
+        the VO tracking state.  ``SlamSystem.restore`` rebuilds a FRESH
+        system from this file — including the loop-closure KeyframeIndex,
+        whose signatures are recomputed from the stored features — so a
+        resumed session keeps tracking, scale propagation, and
+        loop-closing across the boundary.  Landmarks are derived state by
+        design (local BA retriangulates its window from the stored
+        features, build_local_ba), so point clouds are not stored."""
         kfs = self.vo.keyframes
         state = {
-            "R": np.stack([k.R for k in kfs]),
-            "t": np.stack([k.t for k in kfs]),
-            "frame_idx": np.asarray([k.index for k in kfs], np.int32),
+            "kf_R": (np.stack([k.R for k in kfs]) if kfs
+                     else np.zeros((0, 3, 3), np.float32)),
+            "kf_t": (np.stack([k.t for k in kfs]) if kfs
+                     else np.zeros((0, 3), np.float32)),
+            "kf_frame_idx": np.asarray([k.index for k in kfs], np.int32),
+            "pose_R": (np.stack([p[0] for p in self.vo.poses])
+                       if self.vo.poses
+                       else np.zeros((0, 3, 3), np.float32)),
+            "pose_t": (np.stack([p[1] for p in self.vo.poses])
+                       if self.vo.poses
+                       else np.zeros((0, 3), np.float32)),
+            "edge_i": np.asarray([e[0] for e in self.edges], np.int32),
+            "edge_j": np.asarray([e[1] for e in self.edges], np.int32),
+            "edge_R": (np.stack([e[2] for e in self.edges])
+                       if self.edges else np.zeros((0, 3, 3), np.float32)),
+            "edge_t": (np.stack([e[3] for e in self.edges])
+                       if self.edges else np.zeros((0, 3), np.float32)),
+            "edge_w": np.asarray([e[4] for e in self.edges], np.float32),
+            "vo_key": np.asarray(self.vo._key),
         }
-        meta = {"n_edges": len(self.edges),
-                "edges": [[int(e[0]), int(e[1]), float(e[4])]
-                          for e in self.edges]}
+        for f in self._FEAT_FIELDS:
+            state[f"feat_{f}"] = (
+                np.stack([np.asarray(getattr(k.features, f)) for k in kfs])
+                if kfs else np.zeros((0,), np.float32))
+        meta = {
+            "state_keys": sorted(state.keys()),
+            "frame_idx": int(self.vo._frame_idx),
+            "kf_inliers0": self.vo._kf_inliers0,
+            "scale": float(self.vo._scale),
+            "last_depth_med": self.vo._last_depth_med,
+            "n_kf_seen": int(self._n_kf_seen),
+            "since_opt": int(self._since_opt),
+        }
         return save_checkpoint(path, state, metadata=meta)
 
+    def restore(self, path: str):
+        """Load a ``save`` checkpoint into THIS system (typically a fresh
+        one constructed with the same intrinsics/configs), replacing its
+        map: keyframes with features, trajectory, edges, VO tracking
+        state, and the loop-closure index (signatures recomputed)."""
+        from ..pipeline import Features
+        from .odometry import Keyframe
+
+        leaves, meta = load_checkpoint(path)
+        state = dict(zip(meta["state_keys"], leaves))
+        K = state["kf_R"].shape[0]
+
+        self.vo.keyframes = []
+        self.index = KeyframeIndex()
+        for k in range(K):
+            feats = Features(**{f: jnp.asarray(state[f"feat_{f}"][k])
+                                for f in self._FEAT_FIELDS})
+            kf = Keyframe(int(state["kf_frame_idx"][k]), feats,
+                          np.asarray(state["kf_R"][k]),
+                          np.asarray(state["kf_t"][k]))
+            self.vo.keyframes.append(kf)
+            self.index.add(feats)
+        self.vo.poses = [(state["pose_R"][i], state["pose_t"][i])
+                         for i in range(state["pose_R"].shape[0])]
+        self.edges = [(int(state["edge_i"][e]), int(state["edge_j"][e]),
+                       state["edge_R"][e], state["edge_t"][e],
+                       float(state["edge_w"][e]))
+                      for e in range(state["edge_i"].shape[0])]
+        self.vo._key = jnp.asarray(state["vo_key"])
+        self.vo._frame_idx = meta["frame_idx"]
+        self.vo._kf_inliers0 = meta["kf_inliers0"]
+        self.vo._scale = meta["scale"]
+        self.vo._last_depth_med = meta["last_depth_med"]
+        self._n_kf_seen = meta["n_kf_seen"]
+        self._since_opt = meta["since_opt"]
+        return meta
+
     def restore_poses(self, path: str):
-        """Restore keyframe poses from a checkpoint (features are not
-        persisted; this resumes the *map geometry*)."""
-        proto = {"R": jnp.zeros((len(self.vo.keyframes), 3, 3)),
-                 "t": jnp.zeros((len(self.vo.keyframes), 3)),
-                 "frame_idx": jnp.zeros(len(self.vo.keyframes),
-                                        jnp.int32)}
-        state, meta = load_checkpoint(path, like=proto)
-        R = np.asarray(state["R"])
-        t = np.asarray(state["t"])
+        """Back-compat geometry-only restore: keyframe poses from a full
+        checkpoint, into a system that already holds the same keyframes."""
+        leaves, meta = load_checkpoint(path)
+        state = dict(zip(meta["state_keys"], leaves))
+        R = np.asarray(state["kf_R"])
+        t = np.asarray(state["kf_t"])
         for k in range(len(self.vo.keyframes)):
             self.vo.keyframes[k] = self.vo.keyframes[k]._replace(
                 R=R[k], t=t[k])

@@ -101,3 +101,47 @@ class TestBatchedLoopClosure:
             jnp.asarray(np.stack([kfs[23].R, kfs[0].R])),
             jnp.asarray(np.stack([kfs[23].t, kfs[0].t])), g))
         assert np.abs(r).max() < 5e-2
+
+
+@pytest.mark.slow
+def test_signature_recall_on_warped_real_keyframes(stereo_pair):
+    """r2 verdict weak #7: the 512-bin bit-frequency signature's recall
+    under realistic viewpoint/illumination drift, probed on REAL imagery
+    where all signatures correlate (not the trivially separable random
+    fields above).  Keyframes are distinct crops of the stock image;
+    queries are shifted + photometrically perturbed versions.  The true
+    keyframe must rank inside the loop_candidates=4 prefilter window for
+    >= 80% of queries — prefilter misses are silent lost loops."""
+    from akaze_tpu import Akaze, AkazeConfig
+
+    left, _ = stereo_pair
+    det = Akaze(AkazeConfig(max_pts=1024, noctaves=2))
+    h, w = 192, 256
+    # 12 distinct scenes tiled out of the image
+    origins = [(y, x) for y in (0, 200, 400, 600)
+               for x in (0, 400, 800)]
+    idx = KeyframeIndex()
+    feats = []
+    for (oy, ox) in origins:
+        crop = left[oy:oy + h, ox:ox + w].astype(np.float32) / 255.0
+        f = det.detect_and_compute(crop)
+        idx.add(f)
+        feats.append(f)
+
+    rng = np.random.default_rng(3)
+    hits = 0
+    n_q = len(origins)
+    for qi, (oy, ox) in enumerate(origins):
+        # viewpoint shift (6, 9) px + brightness/contrast drift + noise
+        crop = left[oy + 6:oy + 6 + h, ox + 9:ox + 9 + w].astype(
+            np.float32) / 255.0
+        crop = np.clip(0.85 * crop + 0.05
+                       + 0.02 * rng.standard_normal(crop.shape), 0, 1)
+        fq = det.detect_and_compute(crop.astype(np.float32))
+        sig_q = KeyframeIndex._signature(np.asarray(fq.words),
+                                         np.asarray(fq.valid))
+        sims = np.asarray(idx._sigs) @ sig_q
+        top4 = np.argsort(-sims)[:4]
+        hits += int(qi in top4)
+    recall = hits / n_q
+    assert recall >= 0.8, f"prefilter recall {recall} on warped keyframes"

@@ -52,16 +52,85 @@ def test_slam_system_runs_and_optimizes(rng):
     assert np.isfinite(traj).all()
     assert len(sys_.edges) >= len(sys_.vo.keyframes) - 1
 
-    # checkpoint round-trip of the map geometry
+    # full checkpoint round-trip (r2 verdict item #7): restore into a
+    # FRESH system — keyframes with features, edges, VO state, and the
+    # loop-closure index — then continue processing across the boundary
     import tempfile, os
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "map.npz")
         sys_.save(p)
-        before = np.stack([k.R for k in sys_.vo.keyframes])
-        meta = sys_.restore_poses(p)
-        after = np.stack([k.R for k in sys_.vo.keyframes])
-        np.testing.assert_allclose(before, after)
-        assert meta["n_edges"] == len(sys_.edges)
+        fresh = SlamSystem(intr, AkazeConfig(max_pts=512, noctaves=2),
+                           SlamConfig(optimize_every=2, min_loop_gap=2,
+                                      loop_min_matches=20,
+                                      loop_min_inliers=15),
+                           min_inliers=10, keyframe_inlier_ratio=0.9)
+        fresh.restore(p)
+        assert len(fresh.vo.keyframes) == len(sys_.vo.keyframes)
+        assert len(fresh.index) == len(sys_.vo.keyframes)
+        assert len(fresh.edges) == len(sys_.edges)
+        for ea, eb in zip(fresh.edges, sys_.edges):
+            assert (ea[0], ea[1], ea[4]) == (eb[0], eb[1], eb[4])
+            np.testing.assert_allclose(ea[2], eb[2])
+            np.testing.assert_allclose(ea[3], eb[3])
+        np.testing.assert_allclose(fresh.keyframe_trajectory(),
+                                   sys_.keyframe_trajectory())
+        # descriptor sets survive bit-exactly -> the restored index keeps
+        # loop-closing
+        np.testing.assert_array_equal(
+            np.asarray(fresh.vo.keyframes[0].features.words),
+            np.asarray(sys_.vo.keyframes[0].features.words))
+        # geometry-only back-compat restore still works
+        sys_.restore_poses(p)
+        # continue tracking in the restored system
+        R, t = fresh.process(frames[-1].astype(np.float32) / 255.0)
+        assert np.isfinite(np.asarray(R)).all()
+        assert np.isfinite(np.asarray(t)).all()
+
+
+@pytest.mark.slow
+def test_loop_closure_across_restore_boundary(rng):
+    """Save mid-sequence, restore into a fresh SlamSystem, process the
+    return leg of an out-and-back trajectory, and require a loop edge
+    joining a post-restore keyframe to a PRE-restore one (r2 verdict #7:
+    resume must be able to loop-close against the restored map)."""
+    from akaze_tpu.slam import SlamSystem, SlamConfig
+    import tempfile, os
+
+    frames, _ = synthetic_sequence(rng, n_frames=5, size=(160, 224),
+                                   shift_per_frame=(0.0, 7.0), n_blobs=90)
+    intr = Intrinsics(fx=200.0, fy=200.0, cx=112.0, cy=80.0)
+
+    def make_system():
+        # keyframe_inlier_ratio > 1 promotes EVERY tracked frame to a
+        # keyframe (n_inl < ratio * n_inl at the epoch frame), making the
+        # keyframe layout of this scenario deterministic
+        return SlamSystem(
+            intr, AkazeConfig(max_pts=512, noctaves=2),
+            SlamConfig(optimize_every=100, min_loop_gap=2,
+                       loop_min_matches=15, loop_min_inliers=10),
+            min_inliers=10, keyframe_inlier_ratio=1.05)
+
+    sys_ = make_system()
+    for f in frames:  # outbound leg
+        sys_.process(f.astype(np.float32) / 255.0)
+    n_kf_saved = len(sys_.vo.keyframes)
+    assert n_kf_saved >= 3
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "map.npz")
+        sys_.save(p)
+        fresh = make_system()
+        fresh.restore(p)
+        # return leg revisits the outbound imagery
+        for f in (frames[2], frames[1], frames[0]):
+            fresh.process(f.astype(np.float32) / 255.0)
+        crossing = [e for e in fresh.edges
+                    if e[1] < n_kf_saved <= e[0]
+                    and e[4] == fresh.cfg.loop_weight
+                    and e[0] - e[1] > 1]
+        assert crossing, (
+            f"no loop edge across the restore boundary; edges="
+            f"{[(e[0], e[1]) for e in fresh.edges]}, n_saved={n_kf_saved}")
 
 
 def test_local_ba_triggers_in_processing_loop(rng, monkeypatch):
