@@ -103,6 +103,7 @@ def main(argv=None):
     na, nb = int(fa.count), int(fb.count)
     acc = np.asarray(m.index)[:na] >= 0
     n_match = int(acc.sum())
+    overflow = bool(fa.overflow) or bool(fb.overflow)
 
     if args.json:
         print(json.dumps({
@@ -110,6 +111,7 @@ def main(argv=None):
             "detect_pair_ms": round(detect_ms, 3),
             "match_ms": round(match_ms, 3),
             "compile_s": round(compile_s, 1),
+            "overflow": overflow,
             "fixed": args.fixed, "backend": jax.default_backend()}))
     else:
         mode = "fastakaze (16.16 int)" if args.fixed else "akaze (float32)"
@@ -119,6 +121,9 @@ def main(argv=None):
         print(f"Detect+describe (both images, avg of {args.iters}): "
               f"{detect_ms:.2f} ms")
         print(f"Match: {match_ms:.2f} ms   (compile: {compile_s:.1f} s)")
+        if overflow:
+            print("warning: keypoint capacity overflow — some NMS "
+                  "survivors were dropped (raise max_pts)")
 
     if not args.no_draw:
         from .viz import draw_keypoints, draw_matches, write_png

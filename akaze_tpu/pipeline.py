@@ -38,6 +38,10 @@ class Features(NamedTuple):
     words: jax.Array     # [max_pts, 16] uint32 MLDB bits
     valid: jax.Array     # [max_pts] bool
     count: jax.Array     # scalar int32
+    # scalar bool: True when NMS survivors were dropped by a capacity cap
+    # (per-tile budget or max_pts) — unlike the reference's silent clamp
+    # (akazed.cu:1534), the loss is signalled all the way to the user
+    overflow: jax.Array = None
 
 
 def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
@@ -80,7 +84,8 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
         words = jnp.zeros((kps.x.shape[0], 16), jnp.uint32)
     return Features(x=kps.x, y=kps.y, size=kps.size, layer=kps.layer,
                     response=kps.response, angle=angle, words=words,
-                    valid=kps.valid, count=kps.count)
+                    valid=kps.valid, count=kps.count,
+                    overflow=kps.overflow)
 
 
 class Akaze:
@@ -151,6 +156,7 @@ def features_to_numpy(f: Features) -> dict:
     akaze.cpp:134-139)."""
     n = int(f.count)
     out = {k: np.asarray(v)[:n] for k, v in f._asdict().items()
-           if k not in ("count",)}
+           if k not in ("count", "overflow")}
     out["count"] = n
+    out["overflow"] = bool(f.overflow)
     return out

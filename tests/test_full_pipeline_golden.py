@@ -36,7 +36,7 @@ def run_pipeline(img_u8, fixed):
     f = det.detect_and_compute(inp)
     n = int(f.count)
     return {k: np.asarray(v)[:n] for k, v in f._asdict().items()
-            if k != "count"}
+            if k not in ("count", "overflow")}
 
 
 def run_golden(img_u8, fixed):
@@ -86,4 +86,19 @@ def test_full_pipeline_matches_golden_160x208(base_image):
     got = run_pipeline(img, fixed=False)
     want = run_golden(img, fixed=False)
     assert len(want["x"]) > 15
+    assert_parity(got, want, fixed=False)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_FULLRES"),
+    reason="full-res oracle takes many minutes on the 1-CPU box; run "
+           "explicitly with RUN_FULLRES=1 (recorded in BENCH_NOTES.md)")
+def test_full_pipeline_matches_golden_960x1280(base_image):
+    """The headline shape itself (960x1280, the stock pair) against the
+    numpy oracle — full-res-only drift (e.g. tile-cap interactions at
+    scale) is pinned here (r2 verdict item #6)."""
+    got = run_pipeline(base_image, fixed=False)
+    want = run_golden(base_image, fixed=False)
+    assert len(want["x"]) > 300
     assert_parity(got, want, fixed=False)
