@@ -9,7 +9,8 @@ two-view pose, pose-graph optimization, distributed bundle adjustment).
 """
 
 from .config import AkazeConfig, Diffusivity
-from .pipeline import Akaze, Features, detect_and_compute, features_to_numpy
+from .pipeline import (Akaze, Features, detect_and_compute,
+                       detect_and_compute_pair, features_to_numpy)
 from .plan import PipelinePlan, build_plan
 from .match import Matches, match, hamming_distance_matrix
 
@@ -17,6 +18,7 @@ __version__ = "0.2.0"
 
 __all__ = [
     "AkazeConfig", "Diffusivity", "Akaze", "Features", "detect_and_compute",
+    "detect_and_compute_pair",
     "features_to_numpy", "PipelinePlan", "build_plan", "Matches", "match",
     "hamming_distance_matrix", "__version__",
 ]

@@ -44,7 +44,7 @@ def main(argv=None):
     from . import Akaze, AkazeConfig
     from .io import load_gray as load_image
     from .match import match as match_fn
-    from .pipeline import detect_and_compute
+    from .pipeline import detect_and_compute_pair
     from .profiling import scan_time
 
     left = load_image(args.left)
@@ -59,8 +59,7 @@ def main(argv=None):
 
     # warm-up / compile (also produces the feature sets for match + draw)
     t0 = time.time()
-    fa = det.detect_and_compute(left_in)
-    fb = det.detect_and_compute(right_in)
+    fa, fb = det.detect_and_compute_pair(left_in, right_in)
     m = det.match(fa, fb)
     jax.block_until_ready(m.index)
     compile_s = time.time() - t0
@@ -78,8 +77,7 @@ def main(argv=None):
     # both images / both descriptor sets ride the perturbed first argument
     # so neither half of the work is loop-invariant (hoistable) in the scan
     def detect_pair(pair):
-        f1 = detect_and_compute(pair[0], plan, det.fixed)
-        f2 = detect_and_compute(pair[1], plan, det.fixed)
+        f1, f2 = detect_and_compute_pair(pair[0], pair[1], plan, det.fixed)
         # the scalar must depend on the DESCRIPTORS too, or XLA dead-code
         # eliminates the describe stage out of the timed scan
         return (f1.x[0] + f2.x[0]

@@ -386,6 +386,91 @@ _SCALE_BANDS_3 = (
 )
 
 
+def _band_kp_params(kps: Keypoints, pp: PaddedPyramid, plan: PipelinePlan,
+                    ly: int, lx: int, plane_base: int = 0,
+                    nplanes: int = None):
+    """iparams/fparams for the fused kernel, window origin centred for a
+    (ly, lx) logical window (x clamps exactly like extract_windows;
+    sampling positions are absolute so the origin choice is value-neutral).
+
+    ``plane_base``/``nplanes``: when ``pp`` stacks several images'
+    pyramids (pair batching), the planes of this keypoint set start at
+    ``plane_base`` and the per-image plane count is ``nplanes``."""
+    ms = plan.config.max_scale
+    if nplanes is None:
+        nplanes = pp.L.shape[0]
+    p = jnp.clip(kps.layer, 0, nplanes - 1) + plane_base
+    o = jnp.maximum(kps.layer // ms, 0)
+    iratio = 1.0 / (1 << o).astype(jnp.float32)
+    xc = (kps.x * iratio + 0.5).astype(jnp.int32)
+    yc = (kps.y * iratio + 0.5).astype(jnp.int32)
+    wo = pp.widths[p]
+    ho = pp.heights[p]
+    xi = (kps.x + 0.5).astype(jnp.int32) >> o
+    yi = (kps.y + 0.5).astype(jnp.int32) >> o
+    iscale = (kps.size + 0.5).astype(jnp.int32)
+    zero_i = jnp.zeros_like(p)
+    zero_f = jnp.zeros_like(kps.x)
+    x0 = jnp.clip(xc - lx // 2, 0, jnp.maximum(wo - lx, 0))
+    y0 = jnp.clip(yc - ly // 2, 0, jnp.maximum(ho - ly, 0))
+    ip = jnp.stack([p, y0, x0, yi - y0, xi - x0, iscale, zero_i,
+                    zero_i], axis=1)
+    fp = jnp.stack([kps.y * iratio - y0.astype(jnp.float32),
+                    kps.x * iratio - x0.astype(jnp.float32),
+                    iscale.astype(jnp.float32), zero_f], axis=1)
+    return ip, fp
+
+
+def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
+                                 plan: PipelinePlan,
+                                 interpret: bool = False, slack=(0, 0)):
+    """ONE fused-kernel launch over several images' keypoint sets.
+
+    ``pp`` stacks the images' padded pyramids along the plane axis
+    (build_padded_pyramid over the concatenated octave lists); each
+    keypoint set's slot segment is padded to a kernel-block multiple so
+    per-block liveness skipping stays correct (liveness is valid-prefix
+    *per segment*, and a segment must therefore start on a block
+    boundary).  Halves per-launch fixed cost + dead grid steps vs one
+    launch per image (r2 verdict: pair-batched headline push).
+
+    Returns a list of (angle [N], Descriptors) per keypoint set.
+    """
+    from .ops.pallas_describe import orient_describe
+
+    cfg = plan.config
+    assert len(_SCALE_BANDS) == 1, "pair batching supports the single-band layout"
+    _, wy, wx, ly, lx = _SCALE_BANDS[0]
+    nimg = len(kps_list)
+    nplanes = pp.L.shape[0] // nimg
+    ips, fps = [], []
+    for i, kps in enumerate(kps_list):
+        ip, fp = _band_kp_params(kps, pp, plan, ly, lx,
+                                 plane_base=i * nplanes, nplanes=nplanes)
+        ip = ip.at[:, 6].set(kps.valid.astype(jnp.int32))
+        rem = (-ip.shape[0]) % KB
+        if rem:
+            ip = jnp.pad(ip, ((0, rem), (0, 0)))
+            fp = jnp.pad(fp, ((0, rem), (0, 0)))
+        ips.append(ip)
+        fps.append(fp)
+    seg = [ip.shape[0] for ip in ips]
+    pyramid = _padded_band_pyramid(pp, wy, wx, slack)
+    angle, acc = orient_describe(
+        jnp.concatenate(ips), jnp.concatenate(fps), pyramid,
+        patsize=cfg.descriptor_pattern_size, kb=KB, interpret=interpret,
+        wy=wy, wx=wx)
+    angle_all, desc_all = _finish_descriptors(angle, acc)
+    out = []
+    off = 0
+    for i, kps in enumerate(kps_list):
+        n = kps.x.shape[0]
+        out.append((angle_all[off:off + n],
+                    Descriptors(words=desc_all.words[off:off + n])))
+        off += seg[i]
+    return out
+
+
 def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
                            plan: PipelinePlan, interpret: bool = False,
                            slack=(0, 0)):
@@ -404,34 +489,10 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
     from .ops.pallas_describe import orient_describe
 
     cfg = plan.config
-    ms = cfg.max_scale
     n = kps.x.shape[0]
-    p = jnp.clip(kps.layer, 0, pp.L.shape[0] - 1)
-    o = jnp.maximum(kps.layer // ms, 0)
-    iratio = 1.0 / (1 << o).astype(jnp.float32)
-    xc = (kps.x * iratio + 0.5).astype(jnp.int32)
-    yc = (kps.y * iratio + 0.5).astype(jnp.int32)
-    wo = pp.widths[p]
-    ho = pp.heights[p]
-    xi = (kps.x + 0.5).astype(jnp.int32) >> o
-    yi = (kps.y + 0.5).astype(jnp.int32) >> o
-    iscale = (kps.size + 0.5).astype(jnp.int32)
-    zero_i = jnp.zeros_like(p)
-    zero_f = jnp.zeros_like(kps.x)
-    isc_f = iscale.astype(jnp.float32)
 
     def band_params(ly: int, lx: int):
-        """iparams/fparams with the window origin centred for a (ly, lx)
-        logical window (x clamps exactly like extract_windows; sampling
-        positions are absolute so the origin choice is value-neutral)."""
-        x0 = jnp.clip(xc - lx // 2, 0, jnp.maximum(wo - lx, 0))
-        y0 = jnp.clip(yc - ly // 2, 0, jnp.maximum(ho - ly, 0))
-        ip = jnp.stack([p, y0, x0, yi - y0, xi - x0, iscale, zero_i,
-                        zero_i], axis=1)
-        fp = jnp.stack([kps.y * iratio - y0.astype(jnp.float32),
-                        kps.x * iratio - x0.astype(jnp.float32),
-                        isc_f, zero_f], axis=1)
-        return ip, fp
+        return _band_kp_params(kps, pp, plan, ly, lx)
 
     kb = KB
     rem = (-n) % kb
@@ -456,6 +517,7 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
 
     # group keypoints by band with a stable counting sort (cumsum ranks —
     # no argsort); invalid slots group last (band id past every real band)
+    iscale = (kps.size + 0.5).astype(jnp.int32)
     band = jnp.full(n, n_bands, jnp.int32)
     for b in range(n_bands - 1, -1, -1):
         band = jnp.where(iscale <= _SCALE_BANDS[b][0], b, band)

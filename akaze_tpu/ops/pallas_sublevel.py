@@ -181,7 +181,11 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
                  smooth_var: float = 1.0, smooth_radius: int = 2,
                  first_sublevel: bool = False,
                  diffusivity: Diffusivity = Diffusivity.PM_G2,
-                 fixed: bool = False):
+                 fixed: bool = False, batch: int = 1):
+    """``batch`` > 1: the grid is linear over batch * n_blocks and the
+    source/smooth refs carry a leading image axis — one launch walks every
+    image's row blocks back to back (pair batching halves the per-launch
+    fixed cost of the 2x16 sublevel launches per stock pair)."""
     rows = bh + 2 * halo
     if fixed:
         from .conv import gauss_half_kernel_fixed
@@ -190,25 +194,32 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
         k = tuple(float(np.float32(v))
                   for v in gauss_half_kernel(smooth_var, smooth_radius))
 
-    def kernel(ikc_ref,      # prefetch [1] f32: 1 / kcontrast^2 (SMEM)
-               src_ref,      # [Hp, wp] f32 padded L_prev (HBM)
-               sm_ref,       # [Hp, wp] f32 padded smooth (HBM; only read
-               #               when smooth_outside)
-               L_ref,        # out [bh, wp] f32
-               det_ref,      # out [bh, wp] f32
-               lx_ref,       # out [bh, wp] f32
-               ly_ref,       # out [bh, wp] f32
+    def kernel(ikc_ref,      # prefetch [batch] f32: 1 / kcontrast^2 (SMEM)
+               src_ref,      # [Hp, wp] ([batch, Hp, wp]) f32 padded L_prev
+               sm_ref,       # [Hp, wp] ([batch, Hp, wp]) f32 padded smooth
+               #               (only read when smooth_outside)
+               L_ref,        # out [bh, wp] ([1, bh, wp]) f32
+               det_ref,      # out [bh, wp] ([1, bh, wp]) f32
+               lx_ref,       # out [bh, wp] ([1, bh, wp]) f32
+               ly_ref,       # out [bh, wp] ([1, bh, wp]) f32
                buf,          # scratch [2, rows, wp] f32 (src)
                sbuf,         # scratch [2, rows, wp] f32 (smooth, if used)
                sems):        # DMA [2, 2]
         blk = pl.program_id(0)
 
-        def dma(slot, b, which):
+        def dma(slot, lin, which):
             ref = src_ref if which == 0 else sm_ref
             dst = buf if which == 0 else sbuf
-            return pltpu.make_async_copy(
-                ref.at[pl.ds(b * bh, rows), :],
-                dst.at[slot], sems.at[slot, which])
+            if batch == 1:
+                rs = pl.ds(pl.multiple_of(lin * bh, 8), rows)
+                sl = ref.at[rs, :]
+            else:
+                img = lin // n_blocks
+                b = lin - img * n_blocks
+                rs = pl.ds(pl.multiple_of(b * bh, 8), rows)
+                sl = ref.at[img, rs, :]
+            return pltpu.make_async_copy(sl, dst.at[slot],
+                                         sems.at[slot, which])
 
         n_in = 2 if smooth_outside else 1
 
@@ -217,7 +228,7 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
             for w in range(n_in):
                 dma(0, 0, w).start()
 
-        @pl.when(blk + 1 < n_blocks)
+        @pl.when(blk + 1 < batch * n_blocks)
         def _():
             for w in range(n_in):
                 dma((blk + 1) % 2, blk + 1, w).start()
@@ -237,13 +248,14 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
         if taus:
             # conductivity flow (gFlowNaive; fixed: int Scharr, float
             # conductivity stored x65536 rounded, akazed.cu:3432-3445)
+            ikc = ikc_ref[0] if batch == 1 else ikc_ref[blk // n_blocks]
             gx, gy = _scharr_xy(smooth, 1)
             if fixed:
-                dif2 = (gx * gx + gy * gy).astype(jnp.float32) * ikc_ref[0]
+                dif2 = (gx * gx + gy * gy).astype(jnp.float32) * ikc
                 flow = (_flow_from_dif2(dif2, diffusivity)
                         * 65536 + 0.5).astype(jnp.int32)
             else:
-                dif2 = ikc_ref[0] * (gx * gx + gy * gy)
+                dif2 = ikc * (gx * gx + gy * gy)
                 flow = _flow_from_dif2(dif2, diffusivity)
 
             # FED chain (halo shrinks one row/col per step; outputs stay
@@ -278,10 +290,10 @@ def _make_kernel(taus, step: int, bh: int, halo: int, wp: int,
             dxx, dxy, dyy = dxx >> 16, dxy >> 16, dyy >> 16
         det = dxx * dyy - dxy * dxy
 
-        L_ref[...] = L[halo:halo + bh, :]
-        det_ref[...] = det[halo:halo + bh, :]
-        lx_ref[...] = lx[halo:halo + bh, :]
-        ly_ref[...] = ly[halo:halo + bh, :]
+        outs = (L, det, lx, ly)
+        for ref, val in zip((L_ref, det_ref, lx_ref, ly_ref), outs):
+            blkv = val[halo:halo + bh, :]
+            ref[...] = blkv if batch == 1 else blkv[None]
 
     return kernel
 
@@ -401,4 +413,75 @@ def fused_sublevel(src, ikc, taus, step: int, smooth=None,
     )(jnp.asarray(ikc, jnp.float32).reshape(1), srcp, smp)
     L, det, lx, ly = outs
     sl = (slice(0, h), slice(halo, halo + w))
+    return L[sl], det[sl], lx[sl], ly[sl]
+
+
+@partial(jax.jit, static_argnames=("taus", "step", "interpret",
+                                   "smooth_var", "smooth_radius",
+                                   "first_sublevel", "diffusivity",
+                                   "fixed"))
+def fused_sublevel_batch(src, ikc, taus, step: int, smooth=None,
+                         interpret: bool = False, smooth_var: float = 1.0,
+                         smooth_radius: int = 2,
+                         first_sublevel: bool = False,
+                         diffusivity: Diffusivity = Diffusivity.PM_G2,
+                         fixed: bool = False):
+    """``fused_sublevel`` over a leading image axis in ONE kernel launch:
+    the grid walks every image's row blocks back to back (pair batching —
+    the manual-DMA kernel cannot be vmapped, so the batch axis is folded
+    into the grid instead).
+
+    Args: src [B, H, W], ikc [B], smooth optional [B, H, W]; otherwise as
+    ``fused_sublevel``.  Returns (L, det, lx, ly), each [B, H, W].
+    """
+    nb, h, w = src.shape
+    halo = _halo_for(step, len(taus), smooth_radius)
+    bh = _choose_block_height(h, halo)
+    if bh is None or w <= halo + 1:
+        raise ValueError(
+            f"plane {h}x{w} too small for halo {halo}; guard calls with "
+            f"fused_supported()")
+    n_blocks = -(-h // bh)
+    hp = n_blocks * bh
+    wp = -(-(w + 2 * halo) // 128) * 128
+    bot = hp - h + halo
+
+    srcp = jax.vmap(lambda x: _pad_reflect(x, halo, bot, wp))(src)
+    smooth_outside = smooth is not None
+    smp = (jax.vmap(lambda x: _pad_reflect(x, halo, bot, wp))(smooth)
+           if smooth_outside else srcp)
+
+    kernel = _make_kernel(taus, step, bh, halo, wp, n_blocks,
+                          smooth_outside, smooth_var, smooth_radius,
+                          first_sublevel, diffusivity, fixed, batch=nb)
+    rows = bh + 2 * halo
+    dtype = jnp.int32 if fixed else jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb * n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((1, bh, wp),
+                                lambda i, *_: (i // n_blocks,
+                                               i % n_blocks, 0))
+                   for _ in range(4)],
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, wp), dtype),
+            pltpu.VMEM((2, rows, wp), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb, hp, wp), dtype)
+                   for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(ikc, jnp.float32).reshape(nb), srcp, smp)
+    L, det, lx, ly = outs
+    sl = (slice(None), slice(0, h), slice(halo, halo + w))
     return L[sl], det[sl], lx[sl], ly[sl]

@@ -88,6 +88,54 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
                     overflow=kps.overflow)
 
 
+def detect_and_compute_pair(image_a, image_b, plan: PipelinePlan,
+                            fixed: bool = False):
+    """Pair-batched detect+describe: both images of a matching pair in ONE
+    program — vmapped detection over the stacked pyramids and a single
+    fused descriptor launch over the concatenated keypoint sets.  The
+    reference processes the two images back-to-back with per-image kernel
+    launches (main.cpp:199-205); batching the pair halves the per-launch
+    fixed cost, the dead grid steps, and the per-image select/pad op
+    overhead.  Numerically identical to two ``detect_and_compute`` calls
+    (the kernels' sampling positions are absolute).
+
+    Returns (features_a, features_b).
+    """
+    from .descriptor import _SCALE_BANDS, orient_describe_pallas_multi
+
+    mode = plan.config.pallas_descriptor
+    use_pallas = (mode == "on" or mode == "interpret"
+                  or (mode == "auto" and jax.default_backend() == "tpu"))
+    if not use_pallas or len(_SCALE_BANDS) != 1:
+        return (detect_and_compute(image_a, plan, fixed),
+                detect_and_compute(image_b, plan, fixed))
+
+    # batched scale space: vmapped XLA ops + ONE fused Pallas launch per
+    # sublevel walking both images' row blocks
+    octs_pair, _ = build_scale_space(jnp.stack([image_a, image_b]), plan,
+                                     fixed)
+    kps2 = jax.vmap(lambda o: detect_keypoints(o, plan, fixed))(octs_pair)
+    kps_a = jax.tree.map(lambda x: x[0], kps2)
+    kps_b = jax.tree.map(lambda x: x[1], kps2)
+    octs_a = jax.tree.map(lambda x: x[0], octs_pair)
+    octs_b = jax.tree.map(lambda x: x[1], octs_pair)
+
+    extra = (8, 128)
+    pp = build_padded_pyramid(octs_a + octs_b, WSIZE, dtype=jnp.bfloat16,
+                              extra=extra)
+    (angle_a, desc_a), (angle_b, desc_b) = orient_describe_pallas_multi(
+        [kps_a, kps_b], pp, plan, interpret=(mode == "interpret"),
+        slack=extra)
+
+    def feats(kps, angle, desc):
+        return Features(x=kps.x, y=kps.y, size=kps.size, layer=kps.layer,
+                        response=kps.response, angle=angle,
+                        words=desc.words, valid=kps.valid, count=kps.count,
+                        overflow=kps.overflow)
+
+    return feats(kps_a, angle_a, desc_a), feats(kps_b, angle_b, desc_b)
+
+
 class Akaze:
     """Convenience wrapper that caches plans and compiled programs per
     image shape (the reference reuses its octave scratch the same way,
@@ -129,6 +177,17 @@ class Akaze:
         h, w = image.shape
         return self._fn_for(h, w, describe)(image)
 
+    def detect_and_compute_pair(self, image_a, image_b):
+        """Both images of a pair through one pair-batched program (see
+        ``detect_and_compute_pair``).  Returns (features_a, features_b)."""
+        conv = (lambda im: jnp.asarray(im).astype(
+            jnp.int32 if self.fixed else jnp.float32))
+        a, b = conv(image_a), conv(image_b)
+        assert a.shape == b.shape, "pair batching needs equal shapes"
+        plan = self.plan_for(*a.shape)
+        return _jit_detect_and_compute_pair(a, b, plan=plan,
+                                            fixed=self.fixed)
+
     @staticmethod
     def match(f1: Features, f2: Features, max_dist: int = 96) -> Matches:
         """Brute-force Hamming match of f1 against f2 (cuMatch,
@@ -149,6 +208,11 @@ def _jit_match(w1, v1, w2, v2, x2, y2, max_dist):
 @partial(jax.jit, static_argnames=("plan", "fixed", "describe"))
 def _jit_detect_and_compute(image, plan, fixed, describe):
     return detect_and_compute(image, plan, fixed, describe)
+
+
+@partial(jax.jit, static_argnames=("plan", "fixed"))
+def _jit_detect_and_compute_pair(image_a, image_b, plan, fixed):
+    return detect_and_compute_pair(image_a, image_b, plan, fixed)
 
 
 def features_to_numpy(f: Features) -> dict:

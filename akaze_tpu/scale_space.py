@@ -72,16 +72,25 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
     Args:
       image: [H, W]; float32 in [0, 1] for the float path, int32 in [0, 255]
         for the fixed-point path (the demo never normalises the fast input,
-        main.cpp:257-258).
+        main.cpp:257-258).  A leading batch axis ([B, H, W]) builds B
+        images' pyramids in one program: the XLA ops vmap and each fused
+        Pallas sublevel walks all B images' row blocks in ONE launch
+        (pair batching; the manual-DMA kernel cannot be vmapped).
       plan: static plan from ``build_plan``.
       fixed: choose the 16.16 fixed-point flavour.
 
     Returns:
       (octaves, kcontrast): per-octave stacked planes and the (traced)
-      contrast factor after all octave decays.
+      contrast factor after all octave decays ([B] when batched).
     """
     cfg = plan.config
     soffset = cfg.soffset
+    batched = image.ndim == 3
+
+    def V(f):
+        """Map a per-image function over the batch axis (identity when
+        unbatched), capturing static args via the closure."""
+        return jax.vmap(f) if batched else f
 
     lowpass_fn = lowpass_fixed if fixed else lowpass
     conduct_fn = conductivity_fixed if fixed else conductivity
@@ -97,7 +106,9 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                  or (mode == "auto" and jax.default_backend() == "tpu"))
     fused_interp = mode == "interpret"
     if use_fused:
-        from .ops.pallas_sublevel import fused_supported
+        from .ops.pallas_sublevel import (fused_supported, fused_sublevel,
+                                          fused_sublevel_batch)
+        fused_fn = fused_sublevel_batch if batched else fused_sublevel
     diffusivity = cfg.diffusivity
 
     def _ikc(kc):
@@ -117,21 +128,19 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                 # First sublevel (akaze.cpp:325-353): estimate the contrast
                 # percentile on a sigma=1 smooth, then base-smooth the input
                 # with sigma = soffset.
-                pre = lowpass_fn(image, 1.0, 5)
-                mag = (scharr_magnitude_fixed(pre) if fixed
-                       else scharr_magnitude(pre))
-                if fixed:
-                    kcontrast = percentile_contrast_fixed(mag, cfg.per)
-                else:
-                    kcontrast = percentile_contrast(mag, cfg.per)
+                pre = V(lambda x: lowpass_fn(x, 1.0, 5))(image)
+                mag = V(scharr_magnitude_fixed if fixed
+                        else scharr_magnitude)(pre)
+                pct_fn = (percentile_contrast_fixed if fixed
+                          else percentile_contrast)
+                kcontrast = V(lambda m: pct_fn(m, cfg.per))(mag)
                 var = soffset * soffset
                 ksz = 2 * math.ceil((soffset - 0.8) / 0.3) + 3
                 from .ops.conv import radius_for_ksize
                 if use_fused and fused_supported(
-                        *image.shape, (), sp.sigma_size,
+                        *image.shape[-2:], (), sp.sigma_size,
                         radius_for_ksize(ksz)):
-                    from .ops.pallas_sublevel import fused_sublevel
-                    L, det, lx, ly = fused_sublevel(
+                    L, det, lx, ly = fused_fn(
                         image, _ikc(kcontrast), (), sp.sigma_size,
                         smooth_var=var,
                         smooth_radius=radius_for_ksize(ksz),
@@ -143,7 +152,7 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                     lys.append(ly)
                     L_prev = L
                     continue
-                L = lowpass_fn(image, var, ksz)
+                L = V(lambda x: lowpass_fn(x, var, ksz))(image)
                 smooth = L  # smooth = copy of nldimg (akaze.cpp:332)
             elif sp.scale == 0:
                 # New octave (akaze.cpp:371-391): decay kcontrast, decimate
@@ -151,14 +160,13 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                 if fixed:
                     kcontrast = (kcontrast.astype(jnp.float32) * 0.75
                                  + 0.5).astype(jnp.int32)
-                    dst, smooth = down_with_smooth_fixed(prev_L_last)
+                    dst, smooth = V(down_with_smooth_fixed)(prev_L_last)
                 else:
                     kcontrast = kcontrast * jnp.float32(0.75)
-                    dst, smooth = down_with_smooth(prev_L_last)
-                if use_fused and fused_supported(*dst.shape, sp.taus,
-                                                sp.sigma_size):
-                    from .ops.pallas_sublevel import fused_sublevel
-                    L, det, lx, ly = fused_sublevel(
+                    dst, smooth = V(down_with_smooth)(prev_L_last)
+                if use_fused and fused_supported(*dst.shape[-2:], sp.taus,
+                                                 sp.sigma_size):
+                    L, det, lx, ly = fused_fn(
                         dst, _ikc(kcontrast), sp.taus, sp.sigma_size,
                         smooth=smooth, interpret=fused_interp,
                         diffusivity=diffusivity, fixed=fixed)
@@ -168,15 +176,16 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                     lys.append(ly)
                     L_prev = L
                     continue
-                flow = conduct_fn(smooth, cfg.diffusivity, kcontrast)
-                L = _diffuse(dst, flow, sp.taus, fixed)
+                flow = V(lambda s, kc: conduct_fn(s, cfg.diffusivity, kc))(
+                    smooth, kcontrast) if batched else conduct_fn(
+                    smooth, cfg.diffusivity, kcontrast)
+                L = V(lambda d, f: _diffuse(d, f, sp.taus, fixed))(dst, flow)
             else:
                 # Next sublevel (akaze.cpp:393-420): sigma=1 smooth of the
                 # previous L, conductivity, diffuse.
-                if use_fused and fused_supported(*L_prev.shape, sp.taus,
-                                                 sp.sigma_size):
-                    from .ops.pallas_sublevel import fused_sublevel
-                    L, det, lx, ly = fused_sublevel(
+                if use_fused and fused_supported(*L_prev.shape[-2:],
+                                                 sp.taus, sp.sigma_size):
+                    L, det, lx, ly = fused_fn(
                         L_prev, _ikc(kcontrast), sp.taus, sp.sigma_size,
                         interpret=fused_interp, diffusivity=diffusivity,
                         fixed=fixed)
@@ -186,12 +195,15 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
                     lys.append(ly)
                     L_prev = L
                     continue
-                smooth = lowpass_fn(L_prev, 1.0, 5)
-                flow = conduct_fn(smooth, cfg.diffusivity, kcontrast)
-                L = _diffuse(L_prev, flow, sp.taus, fixed)
+                smooth = V(lambda x: lowpass_fn(x, 1.0, 5))(L_prev)
+                flow = V(lambda s, kc: conduct_fn(s, cfg.diffusivity, kc))(
+                    smooth, kcontrast) if batched else conduct_fn(
+                    smooth, cfg.diffusivity, kcontrast)
+                L = V(lambda i, f: _diffuse(i, f, sp.taus, fixed))(
+                    L_prev, flow)
 
-            lx, ly = deriv_fn(smooth, sp.sigma_size)
-            det = hess_fn(lx, ly, sp.sigma_size)
+            lx, ly = V(lambda s: deriv_fn(s, sp.sigma_size))(smooth)
+            det = V(lambda a, b: hess_fn(a, b, sp.sigma_size))(lx, ly)
             Ls.append(L)
             dets.append(det)
             lxs.append(lx)
@@ -199,7 +211,12 @@ def build_scale_space(image, plan: PipelinePlan, fixed: bool = False
             L_prev = L
 
         prev_L_last = L_prev
-        octaves.append(OctaveData(L=jnp.stack(Ls), det=jnp.stack(dets),
-                                  lx=jnp.stack(lxs), ly=jnp.stack(lys)))
+        # sublevel stack axis: [S, H, W] per octave; batched pyramids put
+        # the image axis first ([B, S, H, W]) so detect vmaps per image
+        ax = 1 if batched else 0
+        octaves.append(OctaveData(L=jnp.stack(Ls, axis=ax),
+                                  det=jnp.stack(dets, axis=ax),
+                                  lx=jnp.stack(lxs, axis=ax),
+                                  ly=jnp.stack(lys, axis=ax)))
 
     return octaves, kcontrast

@@ -38,7 +38,7 @@ def main():
     from akaze_tpu import AkazeConfig
     from akaze_tpu.io import load_pgm
     from akaze_tpu.match import match
-    from akaze_tpu.pipeline import detect_and_compute
+    from akaze_tpu.pipeline import detect_and_compute_pair
     from akaze_tpu.plan import build_plan
 
     left = load_pgm("/root/reference/data/left.pgm")
@@ -53,8 +53,11 @@ def main():
         @jax.jit
         def run(a, b):
             def body(carry, _):
-                f1 = detect_and_compute(a + carry * 1e-30, plan)
-                f2 = detect_and_compute(b + carry * 1e-30, plan)
+                # pair-batched: one vmapped detect + one fused descriptor
+                # launch over both images (reference protocol processes the
+                # pair per iteration, main.cpp:199-216)
+                f1, f2 = detect_and_compute_pair(a + carry * 1e-30,
+                                                 b + carry * 1e-30, plan)
                 m = match(f1.words, f1.valid, f2.words, f2.valid, f2.x, f2.y,
                           cfg.max_dist)
                 return carry + m.distance[0] * 1e-30, None

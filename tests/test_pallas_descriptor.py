@@ -81,3 +81,30 @@ def test_pipeline_with_pallas_interpret(test_image):
                                   np.asarray(fp.words)[:n])
     np.testing.assert_allclose(np.asarray(fx.angle)[:n],
                                np.asarray(fp.angle)[:n], atol=1e-3)
+
+
+def test_pair_batched_pipeline_matches_two_calls(test_image):
+    """detect_and_compute_pair (one vmapped detect + ONE fused descriptor
+    launch over both images' concatenated, block-aligned slot segments)
+    must reproduce two independent detect_and_compute calls bit-for-bit
+    (r3: pair-batched headline push)."""
+    from akaze_tpu.pipeline import detect_and_compute_pair
+
+    img_a = test_image[:160, :208]
+    img_b = np.roll(img_a, (5, 9), axis=(0, 1))
+    cfg = AkazeConfig(max_pts=256, noctaves=2,
+                      pallas_descriptor="interpret")
+    plan = build_plan(*img_a.shape, cfg)
+    fa, fb = detect_and_compute_pair(jnp.asarray(img_a),
+                                     jnp.asarray(img_b), plan)
+    ra = detect_and_compute(jnp.asarray(img_a), plan)
+    rb = detect_and_compute(jnp.asarray(img_b), plan)
+    for got, want in ((fa, ra), (fb, rb)):
+        n = int(want.count)
+        assert int(got.count) == n and n > 10
+        for f in ("x", "y", "size", "layer", "response", "angle",
+                  "words", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+                err_msg=f)
+        assert bool(got.overflow) == bool(want.overflow)

@@ -112,3 +112,46 @@ def test_fused_fixed_parity(test_image):
                 np.asarray(oa.det[si])[m:-m, m:-m],
                 np.asarray(ob.det[si])[m:-m, m:-m],
                 err_msg=f"det s{si}")
+
+
+def test_fused_batch_matches_per_image(test_image):
+    """fused_sublevel_batch (one launch walking both images' row blocks)
+    must reproduce per-image fused_sublevel calls bit-for-bit, including
+    per-image ikc selection (r3: pair-batched scale space)."""
+    from akaze_tpu.ops.pallas_sublevel import (fused_sublevel,
+                                               fused_sublevel_batch)
+    img_a = jnp.asarray(test_image[:160, :208])
+    img_b = jnp.asarray(np.roll(test_image[:160, :208], 7, axis=1))
+    ikc = jnp.asarray([3.1, 8.7], jnp.float32)
+    taus = (0.25, 0.2, 0.15)
+    pair = jnp.stack([img_a, img_b])
+    outs_b = fused_sublevel_batch(pair, ikc, taus, 2, interpret=True)
+    for i, img in enumerate((img_a, img_b)):
+        outs_1 = fused_sublevel(img, ikc[i], taus, 2, interpret=True)
+        for got, want, name in zip(outs_b, outs_1,
+                                   ("L", "det", "lx", "ly")):
+            np.testing.assert_array_equal(np.asarray(got[i]),
+                                          np.asarray(want),
+                                          err_msg=f"img{i}:{name}")
+
+
+def test_pair_pipeline_fused_scale_space_parity(test_image):
+    """The full pair-batched pipeline with the fused scale space in
+    interpret mode equals two single-image runs."""
+    from akaze_tpu.pipeline import (detect_and_compute,
+                                    detect_and_compute_pair)
+    img_a = test_image[:160, :208]
+    img_b = np.roll(img_a, (3, 11), axis=(0, 1))
+    cfg = AkazeConfig(max_pts=128, noctaves=2,
+                      pallas_scale_space="interpret",
+                      pallas_descriptor="interpret")
+    plan = build_plan(*img_a.shape, cfg)
+    fa, fb = detect_and_compute_pair(jnp.asarray(img_a),
+                                     jnp.asarray(img_b), plan)
+    for got, img in ((fa, img_a), (fb, img_b)):
+        want = detect_and_compute(jnp.asarray(img), plan)
+        assert int(got.count) == int(want.count) > 10
+        for f in ("x", "y", "angle", "words", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+                err_msg=f)
