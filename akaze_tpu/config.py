@@ -66,10 +66,18 @@ class AkazeConfig:
     #   'interpret' always, in the Pallas interpreter (for CPU tests)
     #   'off'       never
     pallas_descriptor: str = "auto"
-    # fused Pallas scale-space sublevel kernel (float path, PM_G2 only;
-    # other diffusivities and the fixed path always use the XLA ops).
-    # Same mode values as pallas_descriptor.
+    # fused Pallas scale-space sublevel kernel (float and 16.16 fixed
+    # flavours, all four diffusivities; planes too small for the stencil
+    # halo fall back to the XLA ops per sublevel).  Same mode values as
+    # pallas_descriptor.
     pallas_scale_space: str = "auto"
+    # fixed (fastakaze) path + Pallas descriptor: sample bit-faithfully
+    # (f32 windows, per-tap rotation + int truncation, the reference's
+    # fast polynomial atan2 — akazed.cu:3685,3779-3780) instead of the
+    # default approximate bf16 float sampling (measured bound:
+    # benchmarks/fixed_descriptor_bound.py).  Exactness costs sampling
+    # matmul throughput (f32 vs bf16 on the MXU).
+    fixed_exact_sampling: bool = False
 
     # smax scale multiplier for the extrema border; 10*sqrt(2) for the MLDB
     # descriptor family (FEATURE_TYPE 5; reference: akaze.cpp:277-285).

@@ -423,7 +423,8 @@ def _band_kp_params(kps: Keypoints, pp: PaddedPyramid, plan: PipelinePlan,
 
 def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
                                  plan: PipelinePlan,
-                                 interpret: bool = False, slack=(0, 0)):
+                                 interpret: bool = False, slack=(0, 0),
+                                 fixed: bool = False):
     """ONE fused-kernel launch over several images' keypoint sets.
 
     ``pp`` stacks the images' padded pyramids along the plane axis
@@ -455,11 +456,13 @@ def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
         ips.append(ip)
         fps.append(fp)
     seg = [ip.shape[0] for ip in ips]
-    pyramid = _padded_band_pyramid(pp, wy, wx, slack)
+    pyramid = _padded_band_pyramid(
+        pp, wy, wx, slack,
+        dtype=jnp.float32 if fixed else jnp.bfloat16)
     angle, acc = orient_describe(
         jnp.concatenate(ips), jnp.concatenate(fps), pyramid,
         patsize=cfg.descriptor_pattern_size, kb=KB, interpret=interpret,
-        wy=wy, wx=wx)
+        wy=wy, wx=wx, fixed=fixed)
     angle_all, desc_all = _finish_descriptors(angle, acc)
     out = []
     off = 0
@@ -473,7 +476,7 @@ def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
 
 def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
                            plan: PipelinePlan, interpret: bool = False,
-                           slack=(0, 0)):
+                           slack=(0, 0), fixed: bool = False):
     """Orientation + MLDB descriptor via the fused Pallas kernel
     (ops/pallas_describe.py); numerically equivalent to
     compute_orientation + compute_descriptors on the float path up to
@@ -507,10 +510,12 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
         if rem:
             ip = jnp.pad(ip, ((0, rem), (0, 0)))
             fp = jnp.pad(fp, ((0, rem), (0, 0)))
-        pyramid = _padded_band_pyramid(pp, wy, wx, slack)
+        pyramid = _padded_band_pyramid(
+            pp, wy, wx, slack,
+            dtype=jnp.float32 if fixed else jnp.bfloat16)
         angle, acc = orient_describe(
             ip, fp, pyramid, patsize=cfg.descriptor_pattern_size,
-            kb=kb, interpret=interpret, wy=wy, wx=wx)
+            kb=kb, interpret=interpret, wy=wy, wx=wx, fixed=fixed)
         angle = angle[:n]
         acc = acc[:n]
         return _finish_descriptors(angle, acc)
@@ -539,7 +544,9 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
 
     wy_max = max(bd[1] for bd in _SCALE_BANDS)
     wx_max = max(bd[2] for bd in _SCALE_BANDS)
-    pyramid = _padded_band_pyramid(pp, wy_max, wx_max, slack)
+    pyramid = _padded_band_pyramid(
+        pp, wy_max, wx_max, slack,
+        dtype=jnp.float32 if fixed else jnp.bfloat16)
 
     slot_iota = jnp.arange(n + rem, dtype=jnp.int32)
     angle = jnp.zeros(n, jnp.float32)
@@ -558,7 +565,8 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
         ip_b = ip_b.at[:, 6].set(live)
         ang_b, acc_b = orient_describe(
             ip_b, fp_b, pyramid, patsize=cfg.descriptor_pattern_size,
-            kb=kb, interpret=interpret, wy=wy, wx=wx, zero_dead=False)
+            kb=kb, interpret=interpret, wy=wy, wx=wx, zero_dead=False,
+            fixed=fixed)
         ang_u = jnp.roll(ang_b[:n], offsets[b], axis=0)
         acc_u = jnp.roll(acc_b[:n], offsets[b], axis=0)
         sel = band_sorted == b
@@ -571,14 +579,15 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
 
 
 def _padded_band_pyramid(pp: PaddedPyramid, wy: int, wx: int,
-                         slack=(0, 0)):
-    """Three [P, Hp, Wp] bf16 plane stacks (L, Lx, Ly), padded so every
+                         slack=(0, 0), dtype=jnp.bfloat16):
+    """Three [P, Hp, Wp] plane stacks (L, Lx, Ly; ``dtype``, bf16 default
+    / f32 for the bit-faithful fixed flavour), padded so every
     tile-aligned window DMA (rounded-down origins overhang by up to
     (8, 128)) stays in bounds.
 
     ``slack``: (rows, cols) of overhang padding the planes already carry
-    (build_padded_pyramid's ``extra``) — with (8, 128) prebaked and bf16
-    planes this is a zero-copy pass-through."""
+    (build_padded_pyramid's ``extra``) — with (8, 128) prebaked and
+    already-converted planes this is a zero-copy pass-through."""
     planes = (pp.L, pp.lx, pp.ly)
     hp, wp = planes[0].shape[1], planes[0].shape[2]
     hp2 = max(hp + max(8 - slack[0], 0), wy)
@@ -586,7 +595,7 @@ def _padded_band_pyramid(pp: PaddedPyramid, wy: int, wx: int,
     pad = ((0, 0), (0, hp2 - hp), (0, wp2 - wp))
 
     def prep(x):
-        x = x.astype(jnp.bfloat16)
+        x = x.astype(dtype)
         if hp2 != hp or wp2 != wp:
             x = jnp.pad(x, pad)
         return x

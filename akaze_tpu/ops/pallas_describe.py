@@ -147,14 +147,26 @@ def _fast_atan2(y, x):
 
 def _make_kernel(kb: int, patsize: int, n_steps: int,
                  parts: str = "both", wy: int = WY, wx: int = WX,
-                 zero_dead: bool = True, col_major: bool = False):
+                 zero_dead: bool = True, col_major: bool = False,
+                 fixed: bool = False):
     """Batched-block kernel: the per-keypoint formulation issued ~45 small
     vector/matrix ops per keypoint and was op-issue bound (~3 us/kp).  Here
     only the window-dependent sampling matmuls stay per-keypoint; everything
     downstream (disc weighting, atan2, histogram, band scan, arg-max, tap
     geometry, cell sums, rotation) runs once per kb-block on [.., kb]-shaped
     arrays, reducing per-keypoint op count by ~5x.
+
+    ``fixed``: bit-faithful 16.16 fixed-point flavour — float32 windows
+    (int plane values < 2^24 are exact in f32), the reference's fast
+    polynomial atan2 for per-sample orientation angles (akazed.cu:3685),
+    and per-tap derivative rotation + int truncation BEFORE the cell sums
+    (akazed.cu:3779-3780; truncation does not commute past summation, so
+    the float path's rotate-the-cell-sums shortcut is unavailable).
+    Costs ~2-4x the bf16 sampling matmul throughput — the default fixed
+    path keeps the approximate bf16 kernel (fastakaze's speed-over-
+    exactness spirit); this flavour is the bit-faithful on-TPU option.
     """
+    sdt = jnp.float32 if fixed else jnp.bfloat16
     def one_hot_rows(idx_col, width, dtype):
         """[n, 1] int32 -> [n, width] one-hot (all-zero for idx < 0)."""
         lanes = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0],
@@ -259,14 +271,14 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                     orow = oy_l[j] + isc_l[j] * (ta - 5)
                     ocol = ox_l[j] + isc_l[j] * (tb - 5)
                     orow = jnp.where(tap >= 121, -1, orow)
-                    row_oh = one_hot_rows(orow, wy, jnp.bfloat16)
+                    row_oh = one_hot_rows(orow, wy, sdt)
                     # both derivative planes in one matmul
                     T = jax.lax.dot_general(
                         row_oh, wnd[slot, j, :, wx:3 * wx],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)   # [OPAD, 2WX]
-                    Ts.append(T.astype(jnp.bfloat16))
-                    c = one_hot_rows(ocol, wx, jnp.bfloat16)
+                    Ts.append(T.astype(sdt))
+                    c = one_hot_rows(ocol, wx, sdt)
                     cols2.append(jnp.concatenate([c, c], axis=1))
                 T_all = jnp.concatenate(Ts, axis=1)        # [OPAD, kb*2wx]
                 C_all = jnp.concatenate(cols2, axis=1)
@@ -279,7 +291,11 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                 gy = gxy[:, kb:2 * kb]
                 dx = wtv * gx                               # [OPAD, kb]
                 dy = wtv * gy
-                ang = _atan2_poly(dy, dx)  # (atan2 has no Pallas lowering)
+                # fixed path: the reference's coarse polynomial
+                # (dFastAtan2) decides the histogram bin; float path the
+                # accurate fit (atan2 has no Pallas lowering either way)
+                ang = (_fast_atan2(dy, dx) if fixed
+                       else _atan2_poly(dy, dx))
                 abin = jnp.clip((ang * (21.0 / math.pi)).astype(jnp.int32)
                                 + 21, 0, 41)
                 # 42-bin weighted histogram for all kb at once, in
@@ -412,42 +428,78 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                 yp = jnp.where(dlive > 0, yp, -1)
                 Ss = []
                 for j in range(kb):
-                    row_oh = one_hot_rows(yp[:, j:j + 1], wy, jnp.bfloat16)
+                    row_oh = one_hot_rows(yp[:, j:j + 1], wy, sdt)
                     T = jax.lax.dot_general(
                         row_oh, wnd[slot, j], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)  # [NPAD, 3WX]
-                    c = one_hot_rows(xp[:, j:j + 1], wx, jnp.bfloat16)
+                    c = one_hot_rows(xp[:, j:j + 1], wx, sdt)
                     c3 = jnp.concatenate([c, c, c], axis=1)
-                    Pj = (T.astype(jnp.bfloat16) * c3).astype(jnp.float32)
+                    Pj = (T.astype(sdt) * c3).astype(jnp.float32)
                     # reduce each WX chunk: [NPAD, 3WX] -> [NPAD, 3]
                     Sj = (jnp.sum(Pj[:, :wx], axis=1, keepdims=True),
                           jnp.sum(Pj[:, wx:2 * wx], axis=1, keepdims=True),
                           jnp.sum(Pj[:, 2 * wx:], axis=1, keepdims=True))
                     Ss.extend(Sj)
                 S_all = jnp.concatenate(Ss, axis=1)         # [NPAD, 3kb]
+                if fixed:
+                    # per-tap rotation + int truncation BEFORE the cell
+                    # sums (akazed.cu:3779-3780).  Column t = 3j + c holds
+                    # plane c of keypoint j; neighbours along lanes give
+                    # the (dx, dy) partner of each derivative column.
+                    E3 = (jax.lax.broadcasted_iota(
+                        jnp.int32, (kb, 3 * kb), 1) // 3
+                        == jax.lax.broadcasted_iota(
+                            jnp.int32, (kb, 3 * kb), 0)).astype(jnp.float32)
+                    co3r = jax.lax.dot_general(
+                        co_col, E3, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [1, 3kb]
+                    si3r = jax.lax.dot_general(
+                        si_col, E3, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    S_next = pltpu.roll(S_all, 3 * kb - 1, axis=1)
+                    S_prev = pltpu.roll(S_all, 1, axis=1)
+                    rx = (-si3r) * S_all + co3r * S_next  # at cols 3j+1
+                    ry = co3r * S_prev + si3r * S_all     # at cols 3j+2
+                    colt = jax.lax.broadcasted_iota(
+                        jnp.int32, (NPAD, 3 * kb), 1) % 3
+
+                    def trunc(v):
+                        return v.astype(jnp.int32).astype(jnp.float32)
+
+                    S_all = jnp.where(colt == 0, S_all,
+                                      jnp.where(colt == 1, trunc(rx),
+                                                trunc(ry)))
                 acc = jax.lax.dot_general(
                     S_all, M32, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # [3kb, 32]
-            # rotate derivative cell sums (linear, commutes with the cell
-            # sums on the float path); rows are (im, dx, dy) per keypoint.
-            # row r needs coefficient of keypoint r // 3 (pltpu.repeat
-            # tiles, so build the 3x row-expansion with a selection matmul)
-            R3 = (jax.lax.broadcasted_iota(jnp.int32, (3 * kb, kb), 1)
-                  == jax.lax.broadcasted_iota(jnp.int32, (3 * kb, kb), 0)
-                  // 3).astype(jnp.float32)
-            co3 = jax.lax.dot_general(
-                R3, co_col, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [3kb, 1]
-            si3 = jax.lax.dot_general(
-                R3, si_col, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_up = pltpu.roll(acc, 3 * kb - 1, axis=0)  # 3j+1 <- dy (roll requires a non-negative shift; -1 == 3kb-1 mod 3kb)
-            acc_dn = pltpu.roll(acc, 1, axis=0)    # row 3j+2 -> dx row
-            rx_full = (-si3) * acc + co3 * acc_up
-            ry_full = co3 * acc_dn + si3 * acc
-            rowt = jax.lax.broadcasted_iota(jnp.int32, (3 * kb, 1), 0) % 3
-            rot = jnp.where(rowt == 0, acc,
-                            jnp.where(rowt == 1, rx_full, ry_full))
+            if fixed:
+                # already rotated + truncated per tap above
+                rot = acc
+            else:
+                # rotate derivative cell sums (linear, commutes with the
+                # cell sums on the float path); rows are (im, dx, dy) per
+                # keypoint.  row r needs coefficient of keypoint r // 3
+                # (pltpu.repeat tiles, so build the 3x row-expansion with a
+                # selection matmul)
+                R3 = (jax.lax.broadcasted_iota(jnp.int32, (3 * kb, kb), 1)
+                      == jax.lax.broadcasted_iota(jnp.int32,
+                                                  (3 * kb, kb), 0)
+                      // 3).astype(jnp.float32)
+                co3 = jax.lax.dot_general(
+                    R3, co_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [3kb, 1]
+                si3 = jax.lax.dot_general(
+                    R3, si_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # roll requires a non-negative shift; -1 == 3kb-1 mod 3kb
+                acc_up = pltpu.roll(acc, 3 * kb - 1, axis=0)  # 3j+1 <- dy
+                acc_dn = pltpu.roll(acc, 1, axis=0)    # row 3j+2 -> dx row
+                rx_full = (-si3) * acc + co3 * acc_up
+                ry_full = co3 * acc_dn + si3 * acc
+                rowt = jax.lax.broadcasted_iota(
+                    jnp.int32, (3 * kb, 1), 0) % 3
+                rot = jnp.where(rowt == 0, acc,
+                                jnp.where(rowt == 1, rx_full, ry_full))
             # regroup [3kb, 32] -> [kb, 96] (lanes: im | rx | ry) with three
             # row-selection matmuls (avoids a cross-sublane reshape)
             rows = jax.lax.broadcasted_iota(jnp.int32, (kb, 3 * kb), 1)
@@ -491,11 +543,13 @@ def _g2_matrix(kb: int, wx: int = WX):
 
 
 @partial(jax.jit, static_argnames=("patsize", "kb", "interpret", "parts",
-                                   "wy", "wx", "zero_dead", "col_major"))
+                                   "wy", "wx", "zero_dead", "col_major",
+                                   "fixed"))
 def orient_describe(iparams, fparams, planes, patsize: int = 10,
                     kb: int = 8, interpret: bool = False,
                     parts: str = "both", wy: int = WY, wx: int = WX,
-                    zero_dead: bool = True, col_major: bool = False):
+                    zero_dead: bool = True, col_major: bool = False,
+                    fixed: bool = False):
     """Run the fused kernel.
 
     Args:
@@ -508,7 +562,10 @@ def orient_describe(iparams, fparams, planes, patsize: int = 10,
         float(iscale).
       planes: tuple of three [P, Hp, Wp] bf16 padded plane stacks
         (L, Lx, Ly) — separate arrays so no [3, P, Hp, Wp] stack copy is
-        ever materialised.
+        ever materialised.  f32 stacks for the bit-faithful ``fixed``
+        flavour (int plane values < 2^24 stay exact).
+      fixed: bit-faithful 16.16 fixed-point sampling semantics (see
+        _make_kernel); requires f32 ``planes``.
 
     Returns (angle [N] f32, acc [N, 87] f32 in cell*3+chan lane layout,
     matching descriptor._compare_matrices).
@@ -516,9 +573,13 @@ def orient_describe(iparams, fparams, planes, patsize: int = 10,
     n = iparams.shape[0]
     assert n % kb == 0, "pad keypoint count to a multiple of kb"
     assert wy % 8 == 0, "wy must be sublane-aligned"
+    assert not (fixed and col_major), "col_major is a float-path variant"
+    if fixed:
+        assert all(p.dtype == jnp.float32 for p in planes), \
+            "fixed flavour samples f32 planes"
     n_steps = n // kb
     kernel = _make_kernel(kb, patsize, n_steps, parts, wy, wx, zero_dead,
-                          col_major)
+                          col_major, fixed)
     iparams = iparams.reshape(-1)
     fparams = fparams.reshape(-1)
 
@@ -549,7 +610,8 @@ def orient_describe(iparams, fparams, planes, patsize: int = 10,
             pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, kb, wy, 3 * wx), jnp.bfloat16),
+            pltpu.VMEM((2, kb, wy, 3 * wx),
+                       jnp.float32 if fixed else jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, kb, 3)),
         ],
     )

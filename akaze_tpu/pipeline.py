@@ -58,13 +58,18 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
                       or (mode == "auto"
                           and jax.default_backend() == "tpu"))
         # The fused kernel samples bf16 planes with float-path cell-sum
-        # semantics; on the fixed path this deviates from the reference's
-        # per-sample int truncation (akazed.cu:3779-3780) — like the
-        # reference's own fastakaze, it trades exactness for speed.  Set
-        # pallas_descriptor='off' for bit-faithful fixed descriptors.
-        sdtype = (jnp.bfloat16
-                  if (use_pallas or (not fixed and plan.config.bf16_sampling))
-                  else None)
+        # semantics by default; on the fixed path this deviates from the
+        # reference's per-sample int truncation (akazed.cu:3779-3780) —
+        # like the reference's own fastakaze, it trades exactness for
+        # speed.  Set fixed_exact_sampling=True for the bit-faithful f32
+        # kernel flavour, or pallas_descriptor='off' for the XLA path.
+        exact_fixed = fixed and plan.config.fixed_exact_sampling
+        if use_pallas and exact_fixed:
+            sdtype = jnp.float32
+        elif use_pallas or (not fixed and plan.config.bf16_sampling):
+            sdtype = jnp.bfloat16
+        else:
+            sdtype = None
         # the kernel path prebakes the window-DMA overhang into the one
         # padding pass (a second full-pyramid pad cost ~0.4 ms at 1.2 MPix)
         extra = (8, 128) if use_pallas else (0, 0)
@@ -73,7 +78,7 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
             from .descriptor import orient_describe_pallas
             angle, desc = orient_describe_pallas(
                 kps, pp, plan, interpret=(mode == "interpret"),
-                slack=extra)
+                slack=extra, fixed=exact_fixed)
         else:
             wnd = extract_windows(kps, pp, plan)
             angle = compute_orientation(kps, wnd, plan, fixed)
@@ -121,11 +126,13 @@ def detect_and_compute_pair(image_a, image_b, plan: PipelinePlan,
     octs_b = jax.tree.map(lambda x: x[1], octs_pair)
 
     extra = (8, 128)
-    pp = build_padded_pyramid(octs_a + octs_b, WSIZE, dtype=jnp.bfloat16,
-                              extra=extra)
+    exact_fixed = fixed and plan.config.fixed_exact_sampling
+    pp = build_padded_pyramid(
+        octs_a + octs_b, WSIZE,
+        dtype=jnp.float32 if exact_fixed else jnp.bfloat16, extra=extra)
     (angle_a, desc_a), (angle_b, desc_b) = orient_describe_pallas_multi(
         [kps_a, kps_b], pp, plan, interpret=(mode == "interpret"),
-        slack=extra)
+        slack=extra, fixed=exact_fixed)
 
     def feats(kps, angle, desc):
         return Features(x=kps.x, y=kps.y, size=kps.size, layer=kps.layer,

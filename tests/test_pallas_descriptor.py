@@ -108,3 +108,29 @@ def test_pair_batched_pipeline_matches_two_calls(test_image):
                 np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
                 err_msg=f)
         assert bool(got.overflow) == bool(want.overflow)
+
+
+def test_fixed_exact_kernel_matches_xla_fixed_path(test_image):
+    """fixed_exact_sampling=True: the f32 kernel flavour (per-tap rotation
+    + int truncation, fast polynomial atan2) must reproduce the XLA fixed
+    path bit-for-bit — the bit-faithful on-TPU fastakaze descriptor that
+    r2's coverage table listed as missing."""
+    img = jnp.asarray((test_image * 255).astype(np.int32))
+    cfg_off = AkazeConfig(max_pts=256, noctaves=2, pallas_descriptor="off")
+    cfg_px = AkazeConfig(max_pts=256, noctaves=2,
+                         pallas_descriptor="interpret",
+                         fixed_exact_sampling=True)
+    f0 = detect_and_compute(img, build_plan(*test_image.shape, cfg_off),
+                            fixed=True)
+    f1 = detect_and_compute(img, build_plan(*test_image.shape, cfg_px),
+                            fixed=True)
+    n = int(f0.count)
+    assert int(f1.count) == n > 10
+    a0 = np.asarray(f0.angle)[:n]
+    a1 = np.asarray(f1.angle)[:n]
+    d = np.abs(a0 - a1)
+    assert (np.minimum(d, 2 * np.pi - d) < 1e-3).all()
+    w0 = np.asarray(f0.words)[:n]
+    w1 = np.asarray(f1.words)[:n]
+    bitdiff = np.unpackbits((w0 ^ w1).view(np.uint8), axis=1).sum(1)
+    assert bitdiff.max() == 0
