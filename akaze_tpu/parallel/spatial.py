@@ -1,0 +1,286 @@
+"""Spatially (row-) sharded scale-space construction with halo exchange.
+
+The reference handles image scale only through the octave pyramid with its
+<80 px early stop (akaze.cpp:211-223); one GPU must hold every plane.  This
+module is the TPU long-axis answer for images too large for a single chip's
+HBM (SURVEY.md "long-context" analog): the image is sharded by ROWS across
+a 1D mesh axis and the whole nonlinear scale space is built under
+``shard_map``, with each stencil's ghost rows exchanged over ICI via
+``lax.ppermute`` (neighbour-only traffic — no all-gathers of image planes).
+
+Exactness.  Every stencil in the pipeline (separable Gaussians ops/conv.py,
+Scharr windows ops/scharr.py, the FED step ops/diffusion.py) uses
+reflect-101 borders via ``jnp.pad(mode="reflect")``.  Extending a local
+block with ``r`` genuine neighbour rows (reflect-101 of the *local* block at
+the global edges) and cropping ``r`` output rows reproduces the unsharded
+op value-for-value — BIT-exact on the 16.16 fixed path (integer arithmetic;
+asserted in tests/test_spatial.py), and to ulp-level FMA-contraction noise
+(measured <= 2e-7) on the float path, where XLA fuses the identical
+expressions differently inside the shard_map program:
+
+* interior devices see genuine data for the whole stencil footprint;
+* edge devices see exactly the rows ``mode="reflect"`` would synthesize.
+
+Two consequences shape the code:
+
+* ``hessian_determinant`` reflect-pads the *derivative fields themselves*
+  (gHessianDeterminant reads Lx/Ly with borderAdd, akazed.cu:1299-1331), and
+  Ly is antisymmetric under row reflection — so derivatives and the Hessian
+  must be exchanged in two separate rounds (fusing them into one wider
+  exchange would silently flip Ly's sign inside the global border band).
+* the FED inner loop needs only ONE exchange of ``len(taus)`` rows for the
+  whole cycle: ``nld_step`` commutes with row reflection, so ghost rows stay
+  valid by symmetry at the global edges and shrink by one row per step
+  everywhere else — exactly the budget the final crop removes.
+
+The per-octave decimation keeps whole even row pairs on each device
+(``spatial_supported`` checks divisibility), so ``down_with_smooth``'s
+source-grid taps at +-2/+-4 stay aligned after cropping 2 dest rows.
+
+The contrast percentile is the only global quantity: its max and the 9
+bisection counts are ``psum``/``pmax`` scalars (ops/contrast.py semantics
+preserved; the threshold uses the GLOBAL pixel count).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Tuple
+
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import (conductivity, conductivity_fixed, down_with_smooth,
+                   down_with_smooth_fixed, hessian_determinant,
+                   hessian_determinant_fixed, lowpass, lowpass_fixed,
+                   scaled_derivatives, scaled_derivatives_fixed,
+                   scharr_magnitude, scharr_magnitude_fixed)
+from ..ops.contrast import NBINS
+from ..ops.conv import radius_for_ksize
+from ..plan import PipelinePlan
+from ..scale_space import OctaveData, _diffuse
+
+
+def _extend_rows(x, r: int, axis_name: str, n_dev: int):
+    """[h, W] local block -> [h + 2r, W]: ghost rows from row-neighbours via
+    ppermute; reflect-101 of the local block at the global top/bottom."""
+    if r == 0:
+        return x
+    h = x.shape[0]
+    top_ref = jnp.flip(x[1:r + 1], axis=0)           # rows r..1
+    bot_ref = jnp.flip(x[h - r - 1:h - 1], axis=0)   # rows h-2..h-r-1
+    if n_dev == 1:
+        return jnp.concatenate([top_ref, x, bot_ref], axis=0)
+    # my top ghost rows = previous device's bottom rows (shift down the ring)
+    top_src = lax.ppermute(x[h - r:], axis_name,
+                           [(i, i + 1) for i in range(n_dev - 1)])
+    bot_src = lax.ppermute(x[:r], axis_name,
+                           [(i + 1, i) for i in range(n_dev - 1)])
+    idx = lax.axis_index(axis_name)
+    top = jnp.where(idx == 0, top_ref, top_src)
+    bot = jnp.where(idx == n_dev - 1, bot_ref, bot_src)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _stencil(op, x, r: int, axis_name: str, n_dev: int):
+    """Apply a same-shape row-stencil of radius ``r`` across shard seams."""
+    if r == 0:
+        return op(x)
+    ext = _extend_rows(x, r, axis_name, n_dev)
+    return op(ext)[r:-r]
+
+
+def _percentile_bisect_global(bins, npix: int, per: float, axis_name: str):
+    """ops/contrast.py:_percentile_bisect with psum'd counts (the reference's
+    host percentile loop over the *global* histogram, akazed.cu:2468-2481)."""
+    hist0 = lax.psum(jnp.sum(bins == 0, dtype=jnp.int32), axis_name)
+    thresh = ((npix - hist0).astype(jnp.float32) * per).astype(jnp.int32)
+
+    def cprime(m):
+        return lax.psum(jnp.sum(bins <= m, dtype=jnp.int32),
+                        axis_name) - hist0
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        ge = cprime(mid) >= thresh
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo, _ = lax.fori_loop(0, 9, body, (jnp.int32(0), jnp.int32(NBINS - 1)))
+    return jnp.minimum(lo + 1, NBINS).astype(jnp.int32)
+
+
+def _percentile_contrast_global(grad, per: float, npix: int, axis_name: str,
+                                fixed: bool):
+    """Global-image percentile contrast from a row shard of magnitudes."""
+    if fixed:
+        max_contrast = jnp.maximum(
+            jnp.int32(1), lax.pmax(jnp.max(grad), axis_name))
+        hfactor = (NBINS / max_contrast.astype(jnp.float32) * 65536
+                   + 0.5).astype(jnp.int32)
+        bins = jnp.clip((grad * hfactor) >> 16, 0, NBINS - 1)
+        k = _percentile_bisect_global(bins, npix, per, axis_name)
+        return k * max_contrast // NBINS
+    max_contrast = jnp.maximum(jnp.float32(0.03),
+                               lax.pmax(jnp.max(grad), axis_name))
+    hfactor = NBINS / max_contrast
+    bins = jnp.clip((grad * hfactor).astype(jnp.int32), 0, NBINS - 1)
+    k = _percentile_bisect_global(bins, npix, per, axis_name)
+    return k.astype(jnp.float32) / hfactor
+
+
+def _octave_radii(plan: PipelinePlan, oi: int) -> List[int]:
+    """Every row-halo radius the build needs at octave ``oi``."""
+    cfg = plan.config
+    radii = []
+    if oi == 0:
+        ksz = 2 * math.ceil((cfg.soffset - 0.8) / 0.3) + 3
+        radii += [2, 1, radius_for_ksize(ksz)]     # pre-smooth, Scharr, base
+    else:
+        radii.append(4)                            # down_with_smooth taps
+    for sp in plan.octaves[oi].scales:
+        radii += [2, 1, len(sp.taus), sp.sigma_size]
+    return radii
+
+
+def spatial_supported(plan: PipelinePlan, n_dev: int) -> Tuple[bool, str]:
+    """Whether every octave keeps whole, large-enough row blocks per device.
+
+    Each halo of radius r needs r rows from ONE neighbour (and reflect-101
+    needs r <= h_local - 1); decimation needs the local row count even so
+    each device keeps whole source row pairs.
+    """
+    for oi, op in enumerate(plan.octaves):
+        if op.height % n_dev:
+            return False, (f"octave {oi} height {op.height} not divisible "
+                           f"by {n_dev} devices")
+        h_loc = op.height // n_dev
+        if oi + 1 < len(plan.octaves) and h_loc % 2:
+            return False, (f"octave {oi} local rows {h_loc} odd — cannot "
+                           "decimate whole row pairs per device")
+        r = max(_octave_radii(plan, oi))
+        if r > h_loc - 1:
+            return False, (f"octave {oi} needs halo {r} > local rows "
+                           f"{h_loc} - 1; use fewer devices or a larger "
+                           "image")
+    return True, ""
+
+
+def _build_local(image, plan: PipelinePlan, axis_name: str, n_dev: int,
+                 fixed: bool):
+    """scale_space.build_scale_space's XLA path on one row shard (the fused
+    Pallas kernel is per-chip-local and joins via the halo wrappers later if
+    ever needed; this tier targets compile-anywhere exactness first)."""
+    cfg = plan.config
+    soffset = cfg.soffset
+    npix = plan.height * plan.width
+
+    lowpass_fn = lowpass_fixed if fixed else lowpass
+    conduct_fn = conductivity_fixed if fixed else conductivity
+    deriv_fn = scaled_derivatives_fixed if fixed else scaled_derivatives
+    hess_fn = hessian_determinant_fixed if fixed else hessian_determinant
+    down_fn = down_with_smooth_fixed if fixed else down_with_smooth
+    mag_fn = scharr_magnitude_fixed if fixed else scharr_magnitude
+
+    def S(op, x, r):
+        return _stencil(op, x, r, axis_name, n_dev)
+
+    octaves = []
+    kcontrast = None
+    prev_L_last = None
+    for oi, oct_plan in enumerate(plan.octaves):
+        Ls, dets, lxs, lys = [], [], [], []
+        L_prev = None
+        for sp in oct_plan.scales:
+            if oi == 0 and sp.scale == 0:
+                pre = S(lambda a: lowpass_fn(a, 1.0, 5), image, 2)
+                mag = S(mag_fn, pre, 1)
+                kcontrast = _percentile_contrast_global(
+                    mag, cfg.per, npix, axis_name, fixed)
+                var = soffset * soffset
+                ksz = 2 * math.ceil((soffset - 0.8) / 0.3) + 3
+                L = S(lambda a: lowpass_fn(a, var, ksz), image,
+                      radius_for_ksize(ksz))
+                smooth = L
+            elif sp.scale == 0:
+                if fixed:
+                    kcontrast = (kcontrast.astype(jnp.float32) * 0.75
+                                 + 0.5).astype(jnp.int32)
+                else:
+                    kcontrast = kcontrast * jnp.float32(0.75)
+                # crop 2 dest rows <-> the 4 ghost source rows each side
+                ext = _extend_rows(prev_L_last, 4, axis_name, n_dev)
+                dst_e, smooth_e = down_fn(ext)
+                dst, smooth = dst_e[2:-2], smooth_e[2:-2]
+                flow = S(lambda s: conduct_fn(s, cfg.diffusivity, kcontrast),
+                         smooth, 1)
+                T = len(sp.taus)
+                L = _diffuse(_extend_rows(dst, T, axis_name, n_dev),
+                             _extend_rows(flow, T, axis_name, n_dev),
+                             sp.taus, fixed)
+                L = L[T:-T] if T else L
+            else:
+                smooth = S(lambda a: lowpass_fn(a, 1.0, 5), L_prev, 2)
+                flow = S(lambda s: conduct_fn(s, cfg.diffusivity, kcontrast),
+                         smooth, 1)
+                T = len(sp.taus)
+                L = _diffuse(_extend_rows(L_prev, T, axis_name, n_dev),
+                             _extend_rows(flow, T, axis_name, n_dev),
+                             sp.taus, fixed)
+                L = L[T:-T] if T else L
+
+            ss = sp.sigma_size
+            lxe, lye = deriv_fn(_extend_rows(smooth, ss, axis_name, n_dev),
+                                ss)
+            lx, ly = lxe[ss:-ss], lye[ss:-ss]
+            # two separate exchanges (see module docstring: Ly antisymmetry)
+            det = hess_fn(_extend_rows(lx, ss, axis_name, n_dev),
+                          _extend_rows(ly, ss, axis_name, n_dev),
+                          ss)[ss:-ss]
+            Ls.append(L)
+            dets.append(det)
+            lxs.append(lx)
+            lys.append(ly)
+            L_prev = L
+
+        prev_L_last = L_prev
+        octaves.append(OctaveData(L=jnp.stack(Ls), det=jnp.stack(dets),
+                                  lx=jnp.stack(lxs), ly=jnp.stack(lys)))
+    return tuple(octaves), kcontrast
+
+
+def spatial_scale_space(image, plan: PipelinePlan, mesh: Mesh,
+                        axis: str = "data", fixed: bool = False):
+    """Build the scale space with image rows sharded over ``mesh[axis]``.
+
+    Args:
+      image: [H, W] global image (sharded or replicated; shard_map reshards).
+      plan: static plan for (H, W).
+      mesh: 1D (or larger) mesh; rows shard over ``axis``.
+      fixed: 16.16 fixed-point flavour.
+
+    Returns:
+      (octaves, kcontrast) exactly as ``build_scale_space`` — each plane
+      row-sharded over ``axis`` (axis 1 of the [S, H, W] stacks).
+
+    Raises:
+      ValueError if the (plan, device-count) pair leaves some octave with
+      blocks too thin for its halos (``spatial_supported``).
+    """
+    n_dev = mesh.shape[axis]
+    ok, why = spatial_supported(plan, n_dev)
+    if not ok:
+        raise ValueError(f"spatial sharding unsupported: {why}")
+
+    plane = P(None, axis, None)
+    out_specs = (tuple(OctaveData(plane, plane, plane, plane)
+                       for _ in plan.octaves), P())
+
+    go = shard_map(
+        partial(_build_local, plan=plan, axis_name=axis, n_dev=n_dev,
+                fixed=fixed),
+        mesh=mesh, in_specs=P(axis, None), out_specs=out_specs,
+        check_vma=False)
+    return go(image)

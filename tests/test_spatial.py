@@ -1,0 +1,76 @@
+"""Row-sharded (spatial) scale space: halo-exchange exactness.
+
+The sharded build must reproduce the unsharded ``build_scale_space``:
+every stencil sees either genuine neighbour rows or exactly the rows
+reflect-101 padding would synthesize, and the contrast percentile reduces
+the same global histogram (reference semantics akaze.cpp:300-439,
+akazed.cu:2410-2484).
+
+The 16.16 fixed path is asserted BIT-EXACT — integer arithmetic admits no
+rounding, so any seam/halo off-by-one would show up as large integer
+mismatches.  The float path is held to 1e-5: XLA fuses the same stencil
+expressions with different FMA contraction inside the shard_map program
+(measured <= 2e-7, confined to ulp-level noise; the worst rows are the
+global border rows where edge epilogues vectorize differently).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from akaze_tpu import AkazeConfig
+from akaze_tpu.plan import build_plan
+from akaze_tpu.scale_space import build_scale_space
+from akaze_tpu.parallel import make_mesh, spatial_scale_space, \
+    spatial_supported
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8)
+
+
+def _parity(img, cfg, mesh, fixed, n_dev):
+    plan = build_plan(*img.shape, cfg)
+    ok, why = spatial_supported(plan, n_dev)
+    assert ok, why
+    ref_oct, ref_kc = jax.jit(
+        lambda x: build_scale_space(x, plan, fixed=fixed))(img)
+    sp_oct, sp_kc = jax.jit(
+        lambda x: spatial_scale_space(x, plan, mesh, fixed=fixed))(img)
+    assert np.asarray(ref_kc) == np.asarray(sp_kc)
+    for a, b in zip(ref_oct, sp_oct):
+        for name in ("L", "det", "lx", "ly"):
+            ra = np.asarray(getattr(a, name))
+            rb = np.asarray(getattr(b, name))
+            if fixed:
+                np.testing.assert_array_equal(ra, rb, err_msg=name)
+            else:
+                np.testing.assert_allclose(ra, rb, rtol=0, atol=1e-5,
+                                           err_msg=name)
+
+
+def test_spatial_scale_space_bit_parity_float(mesh8, rng):
+    img = jnp.asarray(rng.random((256, 320)).astype(np.float32))
+    _parity(img, AkazeConfig(pallas_scale_space="off"), mesh8, False, 8)
+
+
+def test_spatial_scale_space_bit_parity_fixed(mesh8, rng):
+    img = jnp.asarray((rng.random((256, 320)) * 255).astype(np.int32))
+    _parity(img, AkazeConfig(pallas_scale_space="off"), mesh8, True, 8)
+
+
+def test_spatial_supported_rejects_thin_blocks():
+    cfg = AkazeConfig()
+    plan = build_plan(960, 1280, cfg)
+    ok, why = spatial_supported(plan, 8)   # octave 3: 15 local rows
+    assert not ok and "halo" in why
+    ok4, _ = spatial_supported(plan, 4)
+    assert ok4
+
+    with pytest.raises(ValueError, match="unsupported"):
+        spatial_scale_space(jnp.zeros((960, 1280), jnp.float32), plan,
+                            make_mesh(8))
