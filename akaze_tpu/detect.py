@@ -47,16 +47,25 @@ class Keypoints(NamedTuple):
     overflow: jax.Array = None
 
 
-def _extrema_candidates(oct_data: OctaveData, oct_plan, threshold, fixed):
+def _extrema_candidates(oct_data: OctaveData, oct_plan, threshold, fixed,
+                        det_pad=None, row0=0):
     """Per-scale 3x3 strict maxima above threshold inside the border rect.
 
     Returns (resp [S,H,W] with MIN where not a candidate, per-scale static
     size table).
+
+    ``det_pad``/``row0`` serve the row-sharded tier (parallel/spatial.py):
+    a [S, H+2, W] det stack whose extra rows are the neighbours' ghost rows
+    (MIN at the global edges), and the shard's global row offset for the
+    border-rectangle check.
     """
     det = oct_data.det
     s, h, w = det.shape
     minval = IMIN_VAL if fixed else FMIN_VAL
-    pad = jnp.pad(det, ((0, 0), (1, 1), (1, 1)), mode="constant",
+    if det_pad is None:
+        det_pad = jnp.pad(det, ((0, 0), (1, 1), (0, 0)), mode="constant",
+                          constant_values=minval)
+    pad = jnp.pad(det_pad, ((0, 0), (0, 0), (1, 1)), mode="constant",
                   constant_values=minval)
     c = pad[:, 1:1 + h, 1:1 + w]
     is_max = c > threshold
@@ -66,7 +75,7 @@ def _extrema_candidates(oct_data: OctaveData, oct_plan, threshold, fixed):
                 continue
             is_max &= c > pad[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
     x_lo = jnp.asarray([sp.x_lo for sp in oct_plan.scales], jnp.int32)
     x_hi = jnp.asarray([sp.x_hi for sp in oct_plan.scales], jnp.int32)
@@ -80,11 +89,17 @@ def _extrema_candidates(oct_data: OctaveData, oct_plan, threshold, fixed):
 
 
 def build_extrema_maps(octaves: List[OctaveData], plan: PipelinePlan,
-                       fixed: bool = False):
+                       fixed: bool = False, det_pads=None, row0=0):
     """Full-resolution response/size/layer maps (akaze.cpp:249-258 init +
-    gCalcExtremaMap per octave)."""
+    gCalcExtremaMap per octave).
+
+    With ``det_pads``/``row0`` (row-sharded tier) the maps cover only this
+    shard's rows; ``row0`` is the shard's full-resolution row offset (its
+    octave-o offset is ``row0 >> o`` — exact, since the spatial tier keeps
+    per-octave local row counts even)."""
     cfg = plan.config
-    h0, w0 = plan.height, plan.width
+    w0 = plan.width
+    h0 = octaves[0].det.shape[1] if det_pads is not None else plan.height
     minval = IMIN_VAL if fixed else FMIN_VAL
     rdtype = jnp.int32 if fixed else jnp.float32
     threshold = cfg.idthreshold if fixed else cfg.dthreshold
@@ -94,7 +109,10 @@ def build_extrema_maps(octaves: List[OctaveData], plan: PipelinePlan,
     layer_full = jnp.full((h0, w0), -1, jnp.int32)
 
     for oi, (odata, oplan) in enumerate(zip(octaves, plan.octaves)):
-        resp = _extrema_candidates(odata, oplan, threshold, fixed)
+        resp = _extrema_candidates(
+            odata, oplan, threshold, fixed,
+            det_pad=None if det_pads is None else det_pads[oi],
+            row0=row0 >> oi)
         s, h, w = resp.shape
         # deterministic cross-scale winner (replaces the benign race,
         # akazed.cu:1361-1373): argmax picks the lowest scale on ties
@@ -140,13 +158,17 @@ def build_extrema_maps(octaves: List[OctaveData], plan: PipelinePlan,
 
 
 def nms(resp_full, size_full, layer_full, plan: PipelinePlan,
-        fixed: bool = False):
+        fixed: bool = False, resp_pad=None, row0=0, h_global=None):
     """Circular radius-R NMS (gNmsRNaive, akazed.cu:1554-1613).
 
     A candidate survives unless a neighbor inside the circle
     i^2 + j^2 < size^2 has strictly larger response, or an equal response in
     the top-left quadrant (i <= 0 and j <= 0) — the reference tie-break
     (akazed.cu:1586-1588).  Returns the survivor mask [H, W].
+
+    Row-sharded tier: ``resp_pad`` is [H + 2*rmax, W] with neighbour ghost
+    rows (MIN at global edges), ``row0``/``h_global`` globalize the border
+    region check.
     """
     h, w = resp_full.shape
     psz = plan.psz
@@ -156,7 +178,11 @@ def nms(resp_full, size_full, layer_full, plan: PipelinePlan,
     fsz = size_full
     # int sqsz = fsz * fsz truncates (akazed.cu:1571)
     sqsz = (fsz * fsz).astype(jnp.int32)
-    pad = jnp.pad(resp_full, rmax, mode="constant", constant_values=minval)
+    if resp_pad is None:
+        resp_pad = jnp.pad(resp_full, ((rmax, rmax), (0, 0)),
+                           mode="constant", constant_values=minval)
+    pad = jnp.pad(resp_pad, ((0, 0), (rmax, rmax)), mode="constant",
+                  constant_values=minval)
 
     suppressed = jnp.zeros((h, w), bool)
     for i in range(-rmax, rmax + 1):
@@ -170,12 +196,13 @@ def nms(resp_full, size_full, layer_full, plan: PipelinePlan,
                 beats |= (nresp == resp_full)
             suppressed |= in_circle & beats
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    hg = h if h_global is None else h_global
     # launch covers ix >= psz with the guard ix + psz < width
     # (akazed.cu:1558-1563)
     region = ((cols >= psz) & (cols + psz < w)
-              & (rows >= psz) & (rows + psz < h))
+              & (rows >= psz) & (rows + psz < hg))
     return (layer_full >= 0) & region & ~suppressed
 
 
@@ -343,10 +370,16 @@ def build_padded_pyramid(octaves: List[OctaveData], wsize: int,
 
 
 def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
-                     fixed: bool = False) -> Keypoints:
+                     fixed: bool = False, row_shift=None) -> Keypoints:
     """Sub-pixel refinement (gRefine, akazed.cu:1615-1662): 3x3 quadratic
     fit on the det plane; offsets outside (-1, 1) keep the integer
-    location."""
+    location.
+
+    Row-sharded tier: ``row_shift`` ([noctaves] int32) maps a keypoint's
+    global octave row to its row in this shard's halo-extended det stack
+    (shard offset minus the one-row halo).  Seam-exact because the extrema
+    border rect keeps every keypoint >= 1 row inside the global image at
+    its own octave, so the 3x3 fit never reads the constant-fill rows."""
     ms = plan.config.max_scale
     o = kps.layer // ms
     s = kps.layer % ms
@@ -355,7 +388,10 @@ def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
     base = flat.offsets[o] + s * flat.plane[o]
     xo = kps.x.astype(jnp.int32) >> o
     yo = kps.y.astype(jnp.int32) >> o
-    idx = base + yo * wo + xo
+    # the gather index uses shard-local rows; the refined coordinate below
+    # stays in global rows (yo)
+    yo_idx = yo if row_shift is None else yo - row_shift[o]
+    idx = base + yo_idx * wo + xo
 
     det = flat.det
 

@@ -10,7 +10,8 @@ from .sharded_pgo import sharded_optimize_pose_graph, pad_edges
 from .distributed import (initialize_distributed, make_host_chip_mesh,
                           hier_psum, process_local_batch,
                           HOST_AXIS, CHIP_AXIS, HIER_AXES)
-from .spatial import spatial_scale_space, spatial_supported
+from .spatial import (spatial_scale_space, spatial_supported,
+                      spatial_detect_and_compute)
 
 __all__ = ["make_mesh", "normalize_axes", "axis_size",
            "batched_detect_and_compute", "dp_pipeline_step",
@@ -21,4 +22,5 @@ __all__ = ["make_mesh", "normalize_axes", "axis_size",
            "sharded_optimize_pose_graph", "pad_edges",
            "initialize_distributed", "make_host_chip_mesh", "hier_psum", "process_local_batch",
            "HOST_AXIS", "CHIP_AXIS", "HIER_AXES",
-           "spatial_scale_space", "spatial_supported"]
+           "spatial_scale_space", "spatial_supported",
+           "spatial_detect_and_compute"]

@@ -40,6 +40,15 @@ source-grid taps at +-2/+-4 stay aligned after cropping 2 dest rows.
 The contrast percentile is the only global quantity: its max and the 9
 bisection counts are ``psum``/``pmax`` scalars (ops/contrast.py semantics
 preserved; the threshold uses the GLOBAL pixel count).
+
+``spatial_detect_and_compute`` extends the tier through the whole
+front-end: extrema/NMS see neighbour ghost rows (MIN-filled at the global
+edges, exactly the unsharded constant pads), refinement reads the shard's
+halo-1 det stack with globalized coordinates, and descriptor windows are
+sliced from WSIZE/2-halo-extended plane stacks so seam-straddling
+keypoints sample genuine neighbour rows.  Only the keypoint SoA is
+all-gathered (tiled, in mesh order == global row-major order) and
+compacted to the valid prefix the matcher expects.
 """
 
 from __future__ import annotations
@@ -48,6 +57,7 @@ import math
 from functools import partial
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
@@ -61,27 +71,52 @@ from ..ops.contrast import NBINS
 from ..ops.conv import radius_for_ksize
 from ..plan import PipelinePlan
 from ..scale_space import OctaveData, _diffuse
+from ..detect import (FMIN_VAL, IMIN_VAL, Keypoints, build_extrema_maps,
+                      flatten_pyramid, nms, refine_keypoints,
+                      select_keypoints)
+from ..descriptor import (WSIZE, Windows, compute_descriptors,
+                          compute_orientation)
+
+
+def _extend_rows_of(x, r: int, axis_name: str, n_dev: int, row_axis: int,
+                    edge="reflect"):
+    """Extend ``row_axis`` of x by r ghost rows each side.
+
+    Interior seams receive genuine neighbour rows via ppermute; the global
+    top/bottom get reflect-101 of the local block (``edge="reflect"``) or a
+    constant fill (``edge=<value>`` — detection maps pad with MIN, the
+    descriptor planes with 0, matching the unsharded constant pads).
+    """
+    if r == 0:
+        return x
+    h = x.shape[row_axis]
+
+    def rows(a, b):
+        return lax.slice_in_dim(x, a, b, axis=row_axis)
+
+    if edge == "reflect":
+        top_edge = jnp.flip(rows(1, r + 1), axis=row_axis)       # rows r..1
+        bot_edge = jnp.flip(rows(h - r - 1, h - 1), axis=row_axis)
+    else:
+        shape = list(x.shape)
+        shape[row_axis] = r
+        top_edge = bot_edge = jnp.full(shape, edge, x.dtype)
+    if n_dev == 1:
+        return jnp.concatenate([top_edge, x, bot_edge], axis=row_axis)
+    # my top ghost rows = previous device's bottom rows (shift down the ring)
+    top_src = lax.ppermute(rows(h - r, h), axis_name,
+                           [(i, i + 1) for i in range(n_dev - 1)])
+    bot_src = lax.ppermute(rows(0, r), axis_name,
+                           [(i + 1, i) for i in range(n_dev - 1)])
+    idx = lax.axis_index(axis_name)
+    top = jnp.where(idx == 0, top_edge, top_src)
+    bot = jnp.where(idx == n_dev - 1, bot_edge, bot_src)
+    return jnp.concatenate([top, x, bot], axis=row_axis)
 
 
 def _extend_rows(x, r: int, axis_name: str, n_dev: int):
-    """[h, W] local block -> [h + 2r, W]: ghost rows from row-neighbours via
-    ppermute; reflect-101 of the local block at the global top/bottom."""
-    if r == 0:
-        return x
-    h = x.shape[0]
-    top_ref = jnp.flip(x[1:r + 1], axis=0)           # rows r..1
-    bot_ref = jnp.flip(x[h - r - 1:h - 1], axis=0)   # rows h-2..h-r-1
-    if n_dev == 1:
-        return jnp.concatenate([top_ref, x, bot_ref], axis=0)
-    # my top ghost rows = previous device's bottom rows (shift down the ring)
-    top_src = lax.ppermute(x[h - r:], axis_name,
-                           [(i, i + 1) for i in range(n_dev - 1)])
-    bot_src = lax.ppermute(x[:r], axis_name,
-                           [(i + 1, i) for i in range(n_dev - 1)])
-    idx = lax.axis_index(axis_name)
-    top = jnp.where(idx == 0, top_ref, top_src)
-    bot = jnp.where(idx == n_dev - 1, bot_ref, bot_src)
-    return jnp.concatenate([top, x, bot], axis=0)
+    """[h, W] local block -> [h + 2r, W] with reflect-101 global edges."""
+    return _extend_rows_of(x, r, axis_name, n_dev, 0, "reflect")
 
 
 def _stencil(op, x, r: int, axis_name: str, n_dev: int):
@@ -145,12 +180,15 @@ def _octave_radii(plan: PipelinePlan, oi: int) -> List[int]:
     return radii
 
 
-def spatial_supported(plan: PipelinePlan, n_dev: int) -> Tuple[bool, str]:
+def spatial_supported(plan: PipelinePlan, n_dev: int, detect: bool = False,
+                      describe: bool = False) -> Tuple[bool, str]:
     """Whether every octave keeps whole, large-enough row blocks per device.
 
     Each halo of radius r needs r rows from ONE neighbour (and reflect-101
     needs r <= h_local - 1); decimation needs the local row count even so
-    each device keeps whole source row pairs.
+    each device keeps whole source row pairs.  ``detect`` adds the NMS
+    radius (full-resolution rows); ``describe`` adds the WSIZE/2 descriptor
+    window halo per octave.
     """
     for oi, op in enumerate(plan.octaves):
         if op.height % n_dev:
@@ -160,7 +198,14 @@ def spatial_supported(plan: PipelinePlan, n_dev: int) -> Tuple[bool, str]:
         if oi + 1 < len(plan.octaves) and h_loc % 2:
             return False, (f"octave {oi} local rows {h_loc} odd — cannot "
                            "decimate whole row pairs per device")
-        r = max(_octave_radii(plan, oi))
+        radii = _octave_radii(plan, oi)
+        if detect:
+            radii.append(1)                      # extrema / refine halos
+            if oi == 0:
+                radii.append(plan.max_nms_radius)
+        if describe:
+            radii.append(WSIZE // 2)             # descriptor window halo
+        r = max(radii)
         if r > h_loc - 1:
             return False, (f"octave {oi} needs halo {r} > local rows "
                            f"{h_loc} - 1; use fewer devices or a larger "
@@ -283,4 +328,182 @@ def spatial_scale_space(image, plan: PipelinePlan, mesh: Mesh,
                 fixed=fixed),
         mesh=mesh, in_specs=P(axis, None), out_specs=out_specs,
         check_vma=False)
+    return go(image)
+
+
+# --------------------------------------------------------------------------
+# row-sharded detection + description
+# --------------------------------------------------------------------------
+
+def _ext_desc_stack(octaves, axis_name: str, n_dev: int, fill, sdtype,
+                    plan: PipelinePlan):
+    """Halo-extended [P, Hc, Wc] plane stacks for window extraction.
+
+    Each octave's L/Lx/Ly get WSIZE/2 ghost rows per side (zero at the
+    global edges — exactly the rows the unsharded PaddedPyramid zero-pads /
+    leaves unrepresentable, so out-of-image samples read 0 in both tiers),
+    then zero-pad to the common extent for cross-plane dynamic_slice.
+    """
+    hd = WSIZE // 2
+    hc = max(o.L.shape[1] for o in octaves) + WSIZE
+    wc = max(plan.width, WSIZE)
+    outs = {"L": [], "lx": [], "ly": []}
+    widths = []
+
+    for o in octaves:
+        s, h, w = o.L.shape
+
+        def prep(x):
+            e = _extend_rows_of(x, hd, axis_name, n_dev, 1, edge=fill)
+            if sdtype is not None:
+                e = e.astype(sdtype)
+            return jnp.pad(e, ((0, 0), (0, hc - (h + WSIZE)), (0, wc - w)))
+
+        outs["L"].append(prep(o.L))
+        outs["lx"].append(prep(o.lx))
+        outs["ly"].append(prep(o.ly))
+        widths += [w] * s
+    planes = tuple(jnp.concatenate(outs[k]) for k in ("L", "lx", "ly"))
+    return planes, jnp.asarray(widths, jnp.int32)
+
+
+def _spatial_windows(kps: Keypoints, planes, widths, row0_arr,
+                     plan: PipelinePlan) -> Windows:
+    """extract_windows on halo-extended shards.
+
+    Sampling positions are absolute (descriptor.py design note), so the
+    window origin is value-neutral as long as every sample offset
+    (<= scale*10*sqrt(2)+1.5+0.5 ~ 59 < WSIZE/2) stays representable —
+    centring on the keypoint guarantees that, and the returned ``y0`` is the
+    origin in GLOBAL octave rows so compute_orientation /
+    compute_descriptors run unchanged.
+    """
+    ms = plan.config.max_scale
+    n_planes, hc, _ = planes[0].shape
+    p = jnp.clip(kps.layer, 0, n_planes - 1)
+    o = jnp.maximum(kps.layer // ms, 0)
+    iratio = 1.0 / (1 << o).astype(jnp.float32)
+    xc = (kps.x * iratio + 0.5).astype(jnp.int32)
+    yc = (kps.y * iratio + 0.5).astype(jnp.int32)
+    wo = widths[p]
+    x0 = jnp.clip(xc - WSIZE // 2, 0, jnp.maximum(wo - WSIZE, 0))
+    row0 = row0_arr[o]
+    # ext row e <-> global octave row (row0 - WSIZE/2) + e; a refined
+    # keypoint rounds at most 1-2 rows past its shard, hence the clip
+    ystart = jnp.clip(yc - row0, 0, hc - WSIZE)
+    y0 = ystart + row0 - WSIZE // 2
+
+    def slice_one(stack, pi, yi, xi):
+        return lax.dynamic_slice(stack, (pi, yi, xi), (1, WSIZE, WSIZE))[0]
+
+    grab = jax.vmap(slice_one, in_axes=(None, 0, 0, 0))
+    return Windows(L=grab(planes[0], p, ystart, x0),
+                   lx=grab(planes[1], p, ystart, x0),
+                   ly=grab(planes[2], p, ystart, x0), x0=x0, y0=y0)
+
+
+def _gather_features(kps: Keypoints, angle, words, axis_name: str,
+                     max_pts: int):
+    """All-gather per-shard features and compact to the global row-major
+    prefix (shards hold contiguous row bands in mesh order, so the tiled
+    gather concatenates in exactly the unsharded emission order)."""
+    from ..pipeline import Features
+
+    fields = (kps.x, kps.y, kps.size, kps.layer, kps.response, angle, words)
+    gath = [lax.all_gather(f, axis_name, axis=0, tiled=True)
+            for f in fields]
+    valid_g = lax.all_gather(kps.valid, axis_name, axis=0, tiled=True)
+    total = jnp.sum(valid_g.astype(jnp.int32))
+    (sel,) = jnp.nonzero(valid_g, size=max_pts, fill_value=0)
+    count = jnp.minimum(total, max_pts)
+    got = jnp.arange(max_pts, dtype=jnp.int32) < count
+
+    def take(a):
+        t = a[sel]
+        m = got if t.ndim == 1 else got[:, None]
+        return jnp.where(m, t, jnp.zeros_like(t))
+
+    x, y, size, layer, resp, ang, wrd = (take(a) for a in gath)
+    overflow = (jnp.any(lax.all_gather(kps.overflow, axis_name))
+                | (total > max_pts))
+    return Features(x=x, y=y, size=size, layer=layer, response=resp,
+                    angle=ang, words=wrd, valid=got, count=count,
+                    overflow=overflow)
+
+
+def _detect_describe_local(image, plan: PipelinePlan, axis_name: str,
+                           n_dev: int, fixed: bool, describe: bool):
+    """Full front-end on one row shard; returns globally-compacted
+    (replicated) Features."""
+    cfg = plan.config
+    octaves, _ = _build_local(image, plan, axis_name, n_dev, fixed)
+    d = lax.axis_index(axis_name)
+    row0 = d.astype(jnp.int32) * (plan.height // n_dev)
+    minval = IMIN_VAL if fixed else FMIN_VAL
+
+    # detection maps: extrema (halo 1, MIN-filled global edges exactly like
+    # the unsharded constant pad), NMS (halo rmax), then local selection
+    det_pads = [_extend_rows_of(o.det, 1, axis_name, n_dev, 1, edge=minval)
+                for o in octaves]
+    resp, size, layer = build_extrema_maps(octaves, plan, fixed,
+                                           det_pads=det_pads, row0=row0)
+    resp_pad = _extend_rows_of(resp, plan.max_nms_radius, axis_name, n_dev,
+                               0, edge=minval)
+    mask = nms(resp, size, layer, plan, fixed, resp_pad=resp_pad,
+               row0=row0, h_global=plan.height)
+    kps = select_keypoints(mask, resp, size, layer, cfg.max_pts)
+    kps = kps._replace(y=kps.y + row0.astype(jnp.float32))
+
+    # refinement on the same halo-1 det stacks (seam-exact: the extrema
+    # border rect keeps every keypoint >= 1 row inside the global image)
+    fake = [OctaveData(L=dp, det=dp, lx=dp, ly=dp) for dp in det_pads]
+    flat = flatten_pyramid(fake, det_only=True)
+    shift = jnp.stack([(row0 >> oi) - 1
+                       for oi in range(len(plan.octaves))])
+    kps = refine_keypoints(kps, flat, plan, fixed, row_shift=shift)
+
+    if describe:
+        # mirror the unsharded XLA path's sampling dtype (pipeline.py)
+        sdtype = (jnp.bfloat16 if (not fixed and cfg.bf16_sampling)
+                  else None)
+        planes, widths = _ext_desc_stack(octaves, axis_name, n_dev,
+                                         0 if fixed else 0.0, sdtype, plan)
+        row0_arr = jnp.stack([row0 >> oi
+                              for oi in range(len(plan.octaves))])
+        wnd = _spatial_windows(kps, planes, widths, row0_arr, plan)
+        angle = compute_orientation(kps, wnd, plan, fixed)
+        words = compute_descriptors(kps, angle, wnd, plan, fixed).words
+    else:
+        angle = jnp.zeros_like(kps.x)
+        words = jnp.zeros((cfg.max_pts, 16), jnp.uint32)
+    return _gather_features(kps, angle, words, axis_name, cfg.max_pts)
+
+
+def spatial_detect_and_compute(image, plan: PipelinePlan, mesh: Mesh,
+                               axis: str = "data", fixed: bool = False,
+                               describe: bool = True):
+    """detect_and_compute with image rows sharded over ``mesh[axis]``.
+
+    The whole front-end — scale space, extrema, NMS, selection, sub-pixel
+    refinement, orientation, MLDB descriptors — runs on row shards with
+    neighbour-only halo traffic; only the (small) keypoint SoA is
+    all-gathered at the end.  Together with ``sharded_match`` this serves
+    images whose planes exceed one chip's HBM (the reference's only
+    size lever is the <80 px octave early stop, akaze.cpp:211-223).
+
+    Returns replicated ``Features`` matching the unsharded XLA path (same
+    keypoints in the same row-major order; descriptor bits equal up to the
+    FMA-contraction noise any re-fused XLA program exhibits).
+    """
+    n_dev = mesh.shape[axis]
+    ok, why = spatial_supported(plan, n_dev, detect=True, describe=describe)
+    if not ok:
+        raise ValueError(f"spatial sharding unsupported: {why}")
+    from ..pipeline import Features
+
+    go = shard_map(
+        partial(_detect_describe_local, plan=plan, axis_name=axis,
+                n_dev=n_dev, fixed=fixed, describe=describe),
+        mesh=mesh, in_specs=P(axis, None),
+        out_specs=Features(*([P()] * 10)), check_vma=False)
     return go(image)

@@ -22,8 +22,10 @@ import pytest
 from akaze_tpu import AkazeConfig
 from akaze_tpu.plan import build_plan
 from akaze_tpu.scale_space import build_scale_space
-from akaze_tpu.parallel import make_mesh, spatial_scale_space, \
-    spatial_supported
+from akaze_tpu.pipeline import detect_and_compute
+from akaze_tpu.parallel import (make_mesh, spatial_scale_space,
+                                spatial_supported,
+                                spatial_detect_and_compute)
 
 
 @pytest.fixture(scope="module")
@@ -61,6 +63,86 @@ def test_spatial_scale_space_bit_parity_float(mesh8, rng):
 def test_spatial_scale_space_bit_parity_fixed(mesh8, rng):
     img = jnp.asarray((rng.random((256, 320)) * 255).astype(np.int32))
     _parity(img, AkazeConfig(pallas_scale_space="off"), mesh8, True, 8)
+
+
+def _blob_image(rng, h, w):
+    """Random 8x8 blobs + noise: enough structure for real keypoints."""
+    base = rng.random((h // 8, w // 8)).astype(np.float32)
+    img = np.kron(base, np.ones((8, 8), np.float32))
+    img += 0.05 * rng.random((h, w)).astype(np.float32)
+    return jnp.asarray(np.clip(img, 0, 1))
+
+
+def test_spatial_detect_parity(mesh8, rng):
+    """Row-sharded detection == unsharded: same keypoints, same order.
+
+    Every stage (extrema, NMS, selection, refinement) sees genuine
+    neighbour ghost rows or the exact constant fill the unsharded pads
+    use, so positions/sizes/layers/responses must be identical."""
+    img = _blob_image(rng, 256, 320)
+    cfg = AkazeConfig(pallas_scale_space="off", pallas_descriptor="off",
+                      max_pts=512)
+    plan = build_plan(256, 320, cfg)
+    ok, why = spatial_supported(plan, 8, detect=True)
+    assert ok, why
+    ref = jax.jit(lambda x: detect_and_compute(x, plan,
+                                               describe=False))(img)
+    sp = jax.jit(lambda x: spatial_detect_and_compute(
+        x, plan, mesh8, describe=False))(img)
+    n = int(ref.count)
+    assert int(sp.count) == n and n > 100
+    for f in ("x", "y", "size", "layer", "response"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f))[:n],
+                                      np.asarray(getattr(sp, f))[:n],
+                                      err_msg=f)
+
+
+def test_spatial_detect_parity_fixed(mesh8, rng):
+    """Fixed (16.16) row-sharded detection is bit-exact vs unsharded."""
+    img = (np.asarray(_blob_image(rng, 256, 320)) * 255).astype(np.int32)
+    img = jnp.asarray(img)
+    cfg = AkazeConfig(pallas_scale_space="off", pallas_descriptor="off",
+                      max_pts=512)
+    plan = build_plan(256, 320, cfg)
+    ref = jax.jit(lambda x: detect_and_compute(
+        x, plan, fixed=True, describe=False))(img)
+    sp = jax.jit(lambda x: spatial_detect_and_compute(
+        x, plan, mesh8, fixed=True, describe=False))(img)
+    n = int(ref.count)
+    assert int(sp.count) == n and n > 50
+    for f in ("x", "y", "size", "layer", "response"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f))[:n],
+                                      np.asarray(getattr(sp, f))[:n],
+                                      err_msg=f)
+
+
+def test_spatial_describe_parity(rng):
+    """Row-sharded full front-end == unsharded, descriptor bits included.
+
+    Tall 1024x160 image over 4 devices so every shard holds keypoints and
+    descriptor windows straddle the seams."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    img = _blob_image(rng, 1024, 160)
+    cfg = AkazeConfig(pallas_scale_space="off", pallas_descriptor="off",
+                      max_pts=512)
+    plan = build_plan(1024, 160, cfg)
+    ok, why = spatial_supported(plan, 4, detect=True, describe=True)
+    assert ok, why
+    mesh = make_mesh(4)
+    ref = jax.jit(lambda x: detect_and_compute(x, plan))(img)
+    sp = jax.jit(lambda x: spatial_detect_and_compute(x, plan, mesh))(img)
+    n = int(ref.count)
+    assert int(sp.count) == n and n > 100
+    np.testing.assert_array_equal(np.asarray(ref.x)[:n],
+                                  np.asarray(sp.x)[:n])
+    np.testing.assert_array_equal(np.asarray(ref.y)[:n],
+                                  np.asarray(sp.y)[:n])
+    np.testing.assert_allclose(np.asarray(ref.angle)[:n],
+                               np.asarray(sp.angle)[:n], atol=1e-6)
+    wa = np.asarray(ref.words)[:n].view(np.uint8)
+    wb = np.asarray(sp.words)[:n].view(np.uint8)
+    assert np.unpackbits(wa ^ wb).sum() == 0
 
 
 def test_spatial_supported_rejects_thin_blocks():
