@@ -503,22 +503,10 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
 
     if n_bands == 1:
         # fast path: no grouping machinery (measured ~0.4 ms of sort/
-        # roll/recombine at N=10k that a single band does not need)
-        _, wy, wx, ly, lx = _SCALE_BANDS[0]
-        ip, fp = band_params(ly, lx)
-        ip = ip.at[:, 6].set(kps.valid.astype(jnp.int32))
-        if rem:
-            ip = jnp.pad(ip, ((0, rem), (0, 0)))
-            fp = jnp.pad(fp, ((0, rem), (0, 0)))
-        pyramid = _padded_band_pyramid(
-            pp, wy, wx, slack,
-            dtype=jnp.float32 if fixed else jnp.bfloat16)
-        angle, acc = orient_describe(
-            ip, fp, pyramid, patsize=cfg.descriptor_pattern_size,
-            kb=kb, interpret=interpret, wy=wy, wx=wx, fixed=fixed)
-        angle = angle[:n]
-        acc = acc[:n]
-        return _finish_descriptors(angle, acc)
+        # roll/recombine at N=10k that a single band does not need) —
+        # exactly the one-segment case of the pair-batched launcher
+        return orient_describe_pallas_multi([kps], pp, plan, interpret,
+                                            slack, fixed)[0]
 
     # group keypoints by band with a stable counting sort (cumsum ranks —
     # no argsort); invalid slots group last (band id past every real band)

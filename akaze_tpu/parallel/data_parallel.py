@@ -25,7 +25,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..pipeline import Features, detect_and_compute
+from ..pipeline import Features, detect_and_compute, detect_and_compute_pair
 from ..plan import PipelinePlan
 from ..match import match
 
@@ -67,8 +67,9 @@ def make_dp_step(plan: PipelinePlan, mesh: Mesh, fixed: bool = False,
         # full unbatched single-frame program, Pallas kernels included
         def frame(carry, pair):
             ia, ib = pair
-            fa = detect_and_compute(ia, plan, fixed)
-            fb = detect_and_compute(ib, plan, fixed)
+            # pair-batched flagship program (one vmapped detect + one
+            # fused descriptor launch), same as the single-chip headline
+            fa, fb = detect_and_compute_pair(ia, ib, plan, fixed)
             m = match(fa.words, fa.valid, fb.words, fb.valid, fb.x, fb.y,
                       plan.config.max_dist, use_pallas=match_pallas)
             return carry, (fa, fb, m)

@@ -278,7 +278,7 @@ class SlamSystem:
     # --- persistence -----------------------------------------------------
 
     _FEAT_FIELDS = ("x", "y", "size", "layer", "response", "angle",
-                    "words", "valid", "count")
+                    "words", "valid", "count", "overflow")
 
     def save(self, path: str):
         """Full map checkpoint: keyframe poses + DESCRIPTOR SETS + the
@@ -313,8 +313,13 @@ class SlamSystem:
             "vo_key": np.asarray(self.vo._key),
         }
         for f in self._FEAT_FIELDS:
+            # overflow is Optional (None on features built before detection
+            # surfaced it); persist it as False so the capacity-loss signal
+            # survives the round-trip when it IS set
             state[f"feat_{f}"] = (
-                np.stack([np.asarray(getattr(k.features, f)) for k in kfs])
+                np.stack([np.asarray(v if (v := getattr(k.features, f))
+                                     is not None else False)
+                          for k in kfs])
                 if kfs else np.zeros((0,), np.float32))
         meta = {
             "state_keys": sorted(state.keys()),
@@ -336,14 +341,21 @@ class SlamSystem:
         from .odometry import Keyframe
 
         leaves, meta = load_checkpoint(path)
-        state = dict(zip(meta["state_keys"], leaves))
+        state = self._checkpoint_state(leaves, meta)
+        if "feat_x" not in state:
+            raise ValueError(
+                "checkpoint holds poses only (pre-full-map format: keys "
+                f"{sorted(state)}); use restore_poses() for it")
         K = state["kf_R"].shape[0]
 
         self.vo.keyframes = []
         self.index = KeyframeIndex()
         for k in range(K):
+            # feat_overflow is absent from checkpoints written before the
+            # flag was persisted; Features defaults it to None then
             feats = Features(**{f: jnp.asarray(state[f"feat_{f}"][k])
-                                for f in self._FEAT_FIELDS})
+                                for f in self._FEAT_FIELDS
+                                if f"feat_{f}" in state})
             kf = Keyframe(int(state["kf_frame_idx"][k]), feats,
                           np.asarray(state["kf_R"][k]),
                           np.asarray(state["kf_t"][k]))
@@ -364,11 +376,27 @@ class SlamSystem:
         self._since_opt = meta["since_opt"]
         return meta
 
+    @staticmethod
+    def _checkpoint_state(leaves, meta):
+        """Key the flat checkpoint leaves.  New-format files carry their
+        key list in the metadata; pre-full-map files stored a plain
+        {R, t, frame_idx} dict, whose leaves arrive in sorted-key order
+        (jax dict flattening) — map them onto the kf_* names."""
+        if "state_keys" in meta:
+            return dict(zip(meta["state_keys"], leaves))
+        old = dict(zip(("kf_R", "kf_frame_idx", "kf_t"), leaves))
+        if (len(leaves) != 3 or old["kf_R"].ndim != 3
+                or old["kf_t"].ndim != 2):
+            raise ValueError("unrecognised checkpoint layout "
+                             f"({len(leaves)} leaves, no state_keys)")
+        return old
+
     def restore_poses(self, path: str):
         """Back-compat geometry-only restore: keyframe poses from a full
-        checkpoint, into a system that already holds the same keyframes."""
+        (or old poses-only) checkpoint, into a system that already holds
+        the same keyframes."""
         leaves, meta = load_checkpoint(path)
-        state = dict(zip(meta["state_keys"], leaves))
+        state = self._checkpoint_state(leaves, meta)
         R = np.asarray(state["kf_R"])
         t = np.asarray(state["kf_t"])
         for k in range(len(self.vo.keyframes)):

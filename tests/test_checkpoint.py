@@ -47,3 +47,27 @@ def test_missing_directory(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_checkpoint(str(tmp_path))
     assert latest_step(str(tmp_path / "nope")) == -1
+
+
+def test_old_format_poses_checkpoint_restorable(tmp_path):
+    """Pre-full-map checkpoints ({R, t, frame_idx}, no state_keys) must
+    still key correctly through SlamSystem's format shim, and the full
+    restore must reject them with a clear error instead of a KeyError."""
+    from akaze_tpu.slam.system import SlamSystem
+
+    p = str(tmp_path / "old.npz")
+    R = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    t = np.asarray([[0, 0, 0], [1, 0, 0]], np.float32)
+    fi = np.asarray([0, 3], np.int32)
+    save_checkpoint(p, {"R": R, "t": t, "frame_idx": fi},
+                    metadata={"n_edges": 0, "edges": []})
+
+    leaves, meta = load_checkpoint(p)
+    state = SlamSystem._checkpoint_state(leaves, meta)
+    np.testing.assert_array_equal(state["kf_R"], R)
+    np.testing.assert_array_equal(state["kf_t"], t)
+    np.testing.assert_array_equal(state["kf_frame_idx"], fi)
+
+    sys_ = SlamSystem.__new__(SlamSystem)  # format check needs no state
+    with pytest.raises(ValueError, match="poses only"):
+        sys_.restore(p)

@@ -79,6 +79,10 @@ def test_slam_system_runs_and_optimizes(rng):
         np.testing.assert_array_equal(
             np.asarray(fresh.vo.keyframes[0].features.words),
             np.asarray(sys_.vo.keyframes[0].features.words))
+        # the capacity-overflow signal survives the round-trip (None is
+        # persisted as False)
+        ovf = fresh.vo.keyframes[0].features.overflow
+        assert ovf is not None and not bool(ovf)
         # geometry-only back-compat restore still works
         sys_.restore_poses(p)
         # continue tracking in the restored system
