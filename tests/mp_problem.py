@@ -59,3 +59,14 @@ def make_frames(h: int = 96, w: int = 128, batch: int = 8):
     b = np.stack([img[i + 3:i + 3 + h, i + 5:i + 5 + w]
                   for i in range(batch)])
     return a, b
+
+
+def make_big_image(h: int = 256, w: int = 320):
+    """Deterministic blobby image for the multi-process SPATIAL (row-
+    sharded) front-end parity leg: the halo exchange between devices 3|4
+    crosses the host/gloo boundary."""
+    rng = np.random.default_rng(55)
+    base = rng.random((h // 8, w // 8)).astype(np.float32)
+    img = np.kron(base, np.ones((8, 8), np.float32))
+    img += 0.05 * rng.random((h, w)).astype(np.float32)
+    return np.clip(img, 0, 1).astype(np.float32)

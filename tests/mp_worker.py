@@ -134,6 +134,33 @@ def main():
              words=local_rows(fa.words), midx=local_rows(m.index),
              sm_index=np.asarray(rep[0]), sm_dist=np.asarray(rep[1]))
 
+    # ---- r3: row-sharded (spatial) front-end across the process
+    # boundary — the ppermute halo exchange between devices 3 and 4
+    # crosses hosts (gloo/DCN analog); detection must stay exact vs the
+    # parent's unsharded program ----
+    from functools import partial
+    from akaze_tpu.parallel import spatial_detect_and_compute
+    from mp_problem import make_big_image
+
+    hs, ws = 256, 320
+    cfg_sp = AkazeConfig(pallas_scale_space="off", pallas_descriptor="off",
+                         max_pts=512)
+    plan_sp = build_plan(hs, ws, cfg_sp)
+    img = make_big_image(hs, ws)
+    sh_rows = NamedSharding(dmesh, P("data", None))
+    rows_per_proc = hs // 2
+    img_g = jax.make_array_from_process_local_data(
+        sh_rows, img[pid * rows_per_proc:(pid + 1) * rows_per_proc])
+    sp = jax.jit(partial(spatial_detect_and_compute, plan=plan_sp,
+                         mesh=dmesh, describe=False))(img_g)
+    jax.block_until_ready(sp.x)
+    if pid == 0:
+        np.savez(f"{out}.spatial.npz",
+                 x=np.asarray(sp.x), y=np.asarray(sp.y),
+                 layer=np.asarray(sp.layer),
+                 response=np.asarray(sp.response),
+                 count=int(sp.count))
+
     # all processes must stay alive until the collectives complete
     jax.distributed.shutdown()
     print(f"worker {pid} done", flush=True)

@@ -107,3 +107,33 @@ def test_two_process_landmark_ba_matches_single_process(tmp_path):
                   cfg.max_dist)
     np.testing.assert_array_equal(f0["sm_index"], np.asarray(ref_m.index))
     np.testing.assert_allclose(f0["sm_dist"], np.asarray(ref_m.distance))
+
+    # ---- spatial (row-sharded) front-end across the process boundary:
+    # the workers ran detection with image rows sharded over all 8
+    # devices (the 3|4 halo exchange crossed hosts); the keypoints must
+    # equal the unsharded single-process program exactly ----
+    from mp_problem import make_big_image
+    from akaze_tpu.config import AkazeConfig as _AC
+
+    cfg_sp = _AC(pallas_scale_space="off", pallas_descriptor="off",
+                 max_pts=512)
+    plan_sp = build_plan(256, 320, cfg_sp)
+    ref_sp = detect_and_compute(jnp.asarray(make_big_image(256, 320)),
+                                plan_sp, describe=False)
+    got_sp = np.load(f"{out}.spatial.npz")
+    n_sp = int(ref_sp.count)
+    assert got_sp["count"] == n_sp and n_sp > 100
+    # same keypoints on the same layers; coordinates/responses carry
+    # ulp-level FMA-contraction noise (measured <= 5e-5 px / 2e-8) — the
+    # gloo-process program fuses the float stencils differently from the
+    # in-process compile (same caveat as tests/test_spatial.py's float
+    # plane parity)
+    np.testing.assert_array_equal(got_sp["layer"][:n_sp],
+                                  np.asarray(ref_sp.layer)[:n_sp])
+    for f in ("x", "y"):
+        np.testing.assert_allclose(got_sp[f][:n_sp],
+                                   np.asarray(getattr(ref_sp, f))[:n_sp],
+                                   atol=1e-3, err_msg=f)
+    np.testing.assert_allclose(got_sp["response"][:n_sp],
+                               np.asarray(ref_sp.response)[:n_sp],
+                               rtol=1e-4, atol=1e-7)
