@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--no-draw", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="print one JSON line instead of text")
+    ap.add_argument("--spatial", type=int, default=0, metavar="N",
+                    help="row-shard each image over an N-device mesh "
+                         "(images larger than one chip's HBM; needs N "
+                         "devices)")
     args = ap.parse_args(argv)
 
     import jax
@@ -57,9 +61,31 @@ def main(argv=None):
 
     det = Akaze(AkazeConfig(max_pts=args.max_pts), fixed=args.fixed)
 
+    spatial_mesh = None
+    if args.spatial > 1:
+        from functools import partial
+        from .parallel import make_mesh, spatial_detect_and_compute, \
+            spatial_supported
+        from .plan import build_plan
+        sp_plan = build_plan(*left.shape,
+                             AkazeConfig(max_pts=args.max_pts))
+        ok, why = spatial_supported(sp_plan, args.spatial, detect=True,
+                                    describe=True)
+        if not ok:
+            ap.error(f"--spatial {args.spatial}: {why}")
+        spatial_mesh = make_mesh(args.spatial)
+        spatial_fn = jax.jit(partial(
+            spatial_detect_and_compute, plan=sp_plan, mesh=spatial_mesh,
+            fixed=args.fixed))
+
     # warm-up / compile (also produces the feature sets for match + draw)
     t0 = time.time()
-    fa, fb = det.detect_and_compute_pair(left_in, right_in)
+    if spatial_mesh is not None:
+        sp_dt = jnp.int32 if args.fixed else jnp.float32
+        fa = spatial_fn(jnp.asarray(left_in).astype(sp_dt))
+        fb = spatial_fn(jnp.asarray(right_in).astype(sp_dt))
+    else:
+        fa, fb = det.detect_and_compute_pair(left_in, right_in)
     m = det.match(fa, fb)
     jax.block_until_ready(m.index)
     compile_s = time.time() - t0
@@ -77,7 +103,15 @@ def main(argv=None):
     # both images / both descriptor sets ride the perturbed first argument
     # so neither half of the work is loop-invariant (hoistable) in the scan
     def detect_pair(pair):
-        f1, f2 = detect_and_compute_pair(pair[0], pair[1], plan, det.fixed)
+        if spatial_mesh is not None:
+            from functools import partial
+            from .parallel import spatial_detect_and_compute
+            go = partial(spatial_detect_and_compute, plan=plan,
+                         mesh=spatial_mesh, fixed=det.fixed)
+            f1, f2 = go(pair[0]), go(pair[1])
+        else:
+            f1, f2 = detect_and_compute_pair(pair[0], pair[1], plan,
+                                             det.fixed)
         # the scalar must depend on the DESCRIPTORS too, or XLA dead-code
         # eliminates the describe stage out of the timed scan
         return (f1.x[0] + f2.x[0]

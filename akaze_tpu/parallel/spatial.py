@@ -187,8 +187,10 @@ def spatial_supported(plan: PipelinePlan, n_dev: int, detect: bool = False,
     Each halo of radius r needs r rows from ONE neighbour (and reflect-101
     needs r <= h_local - 1); decimation needs the local row count even so
     each device keeps whole source row pairs.  ``detect`` adds the NMS
-    radius (full-resolution rows); ``describe`` adds the WSIZE/2 descriptor
-    window halo per octave.
+    radius (full-resolution rows).  ``describe`` adds no constraint: deep
+    octaves too thin for the WSIZE/2 window halo are all-gathered whole
+    (tiny planes, see _ext_desc_stack), so any detect-supported layout can
+    also describe.
     """
     for oi, op in enumerate(plan.octaves):
         if op.height % n_dev:
@@ -203,8 +205,6 @@ def spatial_supported(plan: PipelinePlan, n_dev: int, detect: bool = False,
             radii.append(1)                      # extrema / refine halos
             if oi == 0:
                 radii.append(plan.max_nms_radius)
-        if describe:
-            radii.append(WSIZE // 2)             # descriptor window halo
         r = max(radii)
         if r > h_loc - 1:
             return False, (f"octave {oi} needs halo {r} > local rows "
@@ -335,6 +335,12 @@ def spatial_scale_space(image, plan: PipelinePlan, mesh: Mesh,
 # row-sharded detection + description
 # --------------------------------------------------------------------------
 
+def _desc_octave_gathered(octaves):
+    """Per-octave: True when the WSIZE/2 descriptor halo exceeds the local
+    rows and the (small) octave planes are all-gathered whole instead."""
+    return [o.L.shape[1] - 1 < WSIZE // 2 for o in octaves]
+
+
 def _ext_desc_stack(octaves, axis_name: str, n_dev: int, fill, sdtype,
                     plan: PipelinePlan):
     """Halo-extended [P, Hc, Wc] plane stacks for window extraction.
@@ -343,28 +349,43 @@ def _ext_desc_stack(octaves, axis_name: str, n_dev: int, fill, sdtype,
     global edges — exactly the rows the unsharded PaddedPyramid zero-pads /
     leaves unrepresentable, so out-of-image samples read 0 in both tiers),
     then zero-pad to the common extent for cross-plane dynamic_slice.
+
+    Deep octaves whose local row count cannot cover the WSIZE/2 halo are
+    all-gathered WHOLE instead (tiled over rows): their planes are tiny —
+    at 960x1280 over 4 devices the first gathered octave is 240x320 —
+    so replicating them costs a few hundred KB of ICI traffic while
+    keeping the flagship shapes shardable at useful device counts.
     """
     hd = WSIZE // 2
-    hc = max(o.L.shape[1] for o in octaves) + WSIZE
+    gathered = _desc_octave_gathered(octaves)
+    heff = [o.L.shape[1] * (n_dev if g else 1)
+            for o, g in zip(octaves, gathered)]
+    hc = max(heff) + WSIZE
     wc = max(plan.width, WSIZE)
     outs = {"L": [], "lx": [], "ly": []}
     widths = []
 
-    for o in octaves:
+    for o, g, he in zip(octaves, gathered, heff):
         s, h, w = o.L.shape
 
         def prep(x):
-            e = _extend_rows_of(x, hd, axis_name, n_dev, 1, edge=fill)
+            if g and n_dev > 1:
+                x = lax.all_gather(x, axis_name, axis=1, tiled=True)
+            # gathered planes take the same constant pad as the unsharded
+            # PaddedPyramid; sharded ones exchange genuine neighbour rows
+            e = _extend_rows_of(x, hd, axis_name, 1 if g else n_dev, 1,
+                                edge=fill)
             if sdtype is not None:
                 e = e.astype(sdtype)
-            return jnp.pad(e, ((0, 0), (0, hc - (h + WSIZE)), (0, wc - w)))
+            return jnp.pad(e, ((0, 0), (0, hc - (he + WSIZE)),
+                               (0, wc - w)))
 
         outs["L"].append(prep(o.L))
         outs["lx"].append(prep(o.lx))
         outs["ly"].append(prep(o.ly))
         widths += [w] * s
     planes = tuple(jnp.concatenate(outs[k]) for k in ("L", "lx", "ly"))
-    return planes, jnp.asarray(widths, jnp.int32)
+    return planes, jnp.asarray(widths, jnp.int32), gathered
 
 
 def _spatial_windows(kps: Keypoints, planes, widths, row0_arr,
@@ -466,9 +487,11 @@ def _detect_describe_local(image, plan: PipelinePlan, axis_name: str,
         # mirror the unsharded XLA path's sampling dtype (pipeline.py)
         sdtype = (jnp.bfloat16 if (not fixed and cfg.bf16_sampling)
                   else None)
-        planes, widths = _ext_desc_stack(octaves, axis_name, n_dev,
-                                         0 if fixed else 0.0, sdtype, plan)
-        row0_arr = jnp.stack([row0 >> oi
+        planes, widths, gathered = _ext_desc_stack(
+            octaves, axis_name, n_dev, 0 if fixed else 0.0, sdtype, plan)
+        # gathered octaves hold the WHOLE plane, so their shard offset is 0
+        row0_arr = jnp.stack([jnp.zeros_like(row0) if gathered[oi]
+                              else (row0 >> oi)
                               for oi in range(len(plan.octaves))])
         wnd = _spatial_windows(kps, planes, widths, row0_arr, plan)
         angle = compute_orientation(kps, wnd, plan, fixed)

@@ -87,6 +87,28 @@ class TestCli:
         assert os.path.exists(str(tmp_path / "akaze_keypoints.png"))
         assert os.path.exists(str(tmp_path / "akaze_matches.png"))
 
+    def test_demo_spatial_mode(self, tmp_path, rng, capsys):
+        """--spatial N runs the row-sharded front-end over an N-device
+        mesh (the oversized-image path) through the same demo lifecycle."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 (virtual) devices")
+        from akaze_tpu.cli import main
+        frames, _ = synthetic_sequence(rng, n_frames=2, size=(160, 200),
+                                       shift_per_frame=(2.0, 3.0))
+        lp = str(tmp_path / "l.pgm")
+        rp = str(tmp_path / "r.pgm")
+        save_pgm(lp, frames[0])
+        save_pgm(rp, frames[1])
+        main(["--left", lp, "--right", rp, "--iters", "1",
+              "--max-pts", "512", "--out-dir", str(tmp_path), "--json",
+              "--spatial", "2"])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        import json
+        rec = json.loads(out)
+        assert rec["left_pts"] > 5
+        assert rec["matches"] > 3
+
 
 class TestKittiEval:
     @pytest.mark.slow

@@ -145,6 +145,45 @@ def test_spatial_describe_parity(rng):
     assert np.unpackbits(wa ^ wb).sum() == 0
 
 
+def test_spatial_describe_parity_gathered_octaves(rng):
+    """Octaves too thin for the WSIZE/2 window halo are all-gathered whole;
+    descriptors must still match the unsharded path exactly.  512x160 over
+    4 devices: octave 0 halo-exchanges (128 rows/dev), octaves 1-2 (64/32
+    rows/dev < 65) take the gather path."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    img = _blob_image(rng, 512, 160)
+    cfg = AkazeConfig(pallas_scale_space="off", pallas_descriptor="off",
+                      max_pts=512, noctaves=3)
+    plan = build_plan(512, 160, cfg)
+    ok, why = spatial_supported(plan, 4, detect=True, describe=True)
+    assert ok, why
+    mesh = make_mesh(4)
+    ref = jax.jit(lambda x: detect_and_compute(x, plan))(img)
+    sp = jax.jit(lambda x: spatial_detect_and_compute(x, plan, mesh))(img)
+    n = int(ref.count)
+    assert int(sp.count) == n and n > 50
+    np.testing.assert_array_equal(np.asarray(ref.x)[:n],
+                                  np.asarray(sp.x)[:n])
+    np.testing.assert_array_equal(np.asarray(ref.layer)[:n],
+                                  np.asarray(sp.layer)[:n])
+    # keypoints must actually live on gathered octaves for the test to
+    # mean anything
+    assert (np.asarray(ref.layer)[:n] // cfg.max_scale).max() >= 1
+    wa = np.asarray(ref.words)[:n].view(np.uint8)
+    wb = np.asarray(sp.words)[:n].view(np.uint8)
+    assert np.unpackbits(wa ^ wb).sum() == 0
+
+
+def test_spatial_supports_stock_shape_describe():
+    """The flagship 960x1280 shape row-shards over 4 devices with full
+    description (octaves 2-3 gather; the r2-era WSIZE/2 halo rule would
+    have rejected it)."""
+    plan = build_plan(960, 1280, AkazeConfig())
+    ok, why = spatial_supported(plan, 4, detect=True, describe=True)
+    assert ok, why
+
+
 def test_spatial_supported_rejects_thin_blocks():
     cfg = AkazeConfig()
     plan = build_plan(960, 1280, cfg)
