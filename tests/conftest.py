@@ -28,14 +28,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh deterministic generator PER TEST: a session-scoped stream
+    makes every test's data depend on which tests ran before it (adding a
+    test reshuffles all downstream draws — an order-dependence that once
+    flipped a RANSAC test), so each test draws from its own seed-42
+    stream."""
     return np.random.default_rng(42)
 
 
 @pytest.fixture(scope="session")
-def test_image(rng):
+def test_image():
     """Small synthetic test image with blob structure (float in [0, 1])."""
+    rng = np.random.default_rng(42)
     h, w = 192, 256
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     img = np.zeros((h, w))

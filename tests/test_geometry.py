@@ -132,9 +132,13 @@ class TestRansac:
         x1, x2, R, t, X = make_two_view(rng, n=200, noise=5e-4,
                                         outlier_frac=0.35)
         key = jax.random.PRNGKey(3)
+        # 512 hypotheses: at 35% outliers a 256-draw budget occasionally
+        # tops out in a 126-inlier basin (errR ~0.06) on some (data, key)
+        # pairs — ordinary RANSAC sampling variance, measured when the rng
+        # fixture became per-test
         res = ransac_essential(key, jnp.asarray(x1), jnp.asarray(x2),
                                jnp.ones(200, bool), threshold=5e-5,
-                               num_hyps=256)
+                               num_hyps=512)
         n_inl = int(res.num_inliers)
         assert n_inl > 100
         np.testing.assert_allclose(np.asarray(res.R), R, atol=0.02)
