@@ -54,10 +54,44 @@ def bench_dp(n_devices: int, repeats: int = 3, h: int = 192, w: int = 256,
     return b / dt  # frame pairs per second
 
 
+def bench_spatial(n_devices: int, repeats: int = 3, h: int = 512,
+                  w: int = 256):
+    """Row-sharded single-image front-end: one image's rows over the mesh
+    (the oversized-image tier; per-device HBM is the resource that scales,
+    wall-clock gains come second to fitting at all)."""
+    import jax
+    from functools import partial
+    import jax.numpy as jnp
+    from akaze_tpu import AkazeConfig
+    from akaze_tpu.plan import build_plan
+    from akaze_tpu.parallel import (make_mesh, spatial_detect_and_compute,
+                                    spatial_supported)
+
+    cfg = AkazeConfig(max_pts=512, noctaves=2)
+    plan = build_plan(h, w, cfg)
+    ok, why = spatial_supported(plan, n_devices, detect=True, describe=True)
+    if not ok:
+        return None, why
+    mesh = make_mesh(n_devices)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    fn = jax.jit(partial(spatial_detect_and_compute, plan=plan, mesh=mesh))
+    f = fn(img)
+    jax.block_until_ready(f.words)
+    t0 = time.time()
+    for _ in range(repeats):
+        f = fn(img)
+    jax.block_until_ready(f.words)
+    return repeats / (time.time() - t0), ""  # frames per second
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None,
                     help="force backend, e.g. cpu")
+    ap.add_argument("--spatial", action="store_true",
+                    help="also run the row-sharded (spatial) front-end "
+                         "across device counts")
     ap.add_argument("--devices", type=int, default=8,
                     help="max virtual devices (cpu platform)")
     ap.add_argument("--repeats", type=int, default=3)
@@ -96,6 +130,16 @@ def main():
             "evidence": ("program-validity only (virtual CPU mesh)"
                          if virtual else "hardware"),
             "efficiency": {str(n): round(e, 3) for n, e in eff.items()}}))
+
+    if args.spatial:
+        for n in counts:
+            fps, why = bench_spatial(n, repeats=args.repeats)
+            if fps is None:
+                print(json.dumps({"spatial_devices": n,
+                                  "unsupported": why}))
+            else:
+                print(json.dumps({"spatial_devices": n,
+                                  "frames_per_s": round(fps, 2)}))
 
 
 if __name__ == "__main__":
