@@ -41,6 +41,14 @@ The contrast percentile is the only global quantity: its max and the 9
 bisection counts are ``psum``/``pmax`` scalars (ops/contrast.py semantics
 preserved; the threshold uses the GLOBAL pixel count).
 
+When the config enables the fused Pallas scale-space kernel
+(pallas_scale_space on/auto-on-TPU), each qualifying sublevel runs
+ops/pallas_sublevel.py on the halo-extended block — the extension covers
+the kernel's whole stencil reach, so kept rows never read its internal
+reflect pad on interior shards — and the tier keeps single-chip kernel
+throughput per shard (bit-exact vs the unsharded fused path, both
+flavours, tests/test_spatial.py).
+
 ``spatial_detect_and_compute`` extends the tier through the whole
 front-end: extrema/NMS see neighbour ghost rows (MIN-filled at the global
 edges, exactly the unsharded constant pads), refinement reads the shard's
@@ -215,12 +223,49 @@ def spatial_supported(plan: PipelinePlan, n_dev: int, detect: bool = False,
 
 def _build_local(image, plan: PipelinePlan, axis_name: str, n_dev: int,
                  fixed: bool):
-    """scale_space.build_scale_space's XLA path on one row shard (the fused
-    Pallas kernel is per-chip-local and joins via the halo wrappers later if
-    ever needed; this tier targets compile-anywhere exactness first)."""
+    """scale_space.build_scale_space on one row shard.
+
+    Sublevels run the fused Pallas kernel (ops/pallas_sublevel.py) on the
+    halo-extended block whenever the config enables it and the block can
+    cover the kernel's stencil reach: extending by exactly
+    ``_halo_for(step, n_taus)`` genuine (or global-reflect) rows keeps
+    every kept output row's stencil inside real data, so the kernel's own
+    reflect pad is never read on interior shards and reproduces the
+    unsharded fused kernel at the global edges.  Sublevels that don't
+    qualify (thin blocks, small planes) fall back to the XLA stencils with
+    per-op halo exchanges — the same per-sublevel fallback rule as
+    scale_space.build_scale_space."""
     cfg = plan.config
     soffset = cfg.soffset
     npix = plan.height * plan.width
+
+    mode = cfg.pallas_scale_space
+    use_fused = (mode in ("on", "interpret")
+                 or (mode == "auto" and jax.default_backend() == "tpu"))
+    fused_interp = mode == "interpret"
+    if use_fused:
+        from ..ops.pallas_sublevel import (_halo_for, fused_supported,
+                                           fused_sublevel)
+
+    def fused_ext(srcs, taus, step, smooth_radius=2, **kw):
+        """Run the fused kernel on halo-extended blocks; None when this
+        sublevel can't use it.  ``srcs``: (src, smooth-or-None)."""
+        if not use_fused:
+            return None
+        src, smooth = srcs
+        h_loc, w = src.shape
+        r = _halo_for(step, len(taus), smooth_radius)
+        if r > h_loc - 1:
+            return None
+        if not fused_supported(h_loc + 2 * r, w, taus, step, smooth_radius):
+            return None
+        src_e = _extend_rows(src, r, axis_name, n_dev)
+        if smooth is not None:
+            kw["smooth"] = _extend_rows(smooth, r, axis_name, n_dev)
+        outs = fused_sublevel(src_e, kw.pop("ikc"), taus, step,
+                              smooth_radius=smooth_radius,
+                              interpret=fused_interp, fixed=fixed, **kw)
+        return tuple(o[r:r + h_loc] for o in outs)
 
     lowpass_fn = lowpass_fixed if fixed else lowpass
     conduct_fn = conductivity_fixed if fixed else conductivity
@@ -232,6 +277,11 @@ def _build_local(image, plan: PipelinePlan, axis_name: str, n_dev: int,
     def S(op, x, r):
         return _stencil(op, x, r, axis_name, n_dev)
 
+    def _ikc(kc):
+        if fixed:  # conductivity_fixed's expression order
+            return 1.0 / (kc * kc).astype(jnp.float32)
+        return 1.0 / (kc * kc)
+
     octaves = []
     kcontrast = None
     prev_L_last = None
@@ -239,6 +289,7 @@ def _build_local(image, plan: PipelinePlan, axis_name: str, n_dev: int,
         Ls, dets, lxs, lys = [], [], [], []
         L_prev = None
         for sp in oct_plan.scales:
+            fo = None
             if oi == 0 and sp.scale == 0:
                 pre = S(lambda a: lowpass_fn(a, 1.0, 5), image, 2)
                 mag = S(mag_fn, pre, 1)
@@ -246,9 +297,14 @@ def _build_local(image, plan: PipelinePlan, axis_name: str, n_dev: int,
                     mag, cfg.per, npix, axis_name, fixed)
                 var = soffset * soffset
                 ksz = 2 * math.ceil((soffset - 0.8) / 0.3) + 3
-                L = S(lambda a: lowpass_fn(a, var, ksz), image,
-                      radius_for_ksize(ksz))
-                smooth = L
+                fo = fused_ext((image, None), (), sp.sigma_size,
+                               smooth_radius=radius_for_ksize(ksz),
+                               ikc=_ikc(kcontrast), smooth_var=var,
+                               first_sublevel=True)
+                if fo is None:
+                    L = S(lambda a: lowpass_fn(a, var, ksz), image,
+                          radius_for_ksize(ksz))
+                    smooth = L
             elif sp.scale == 0:
                 if fixed:
                     kcontrast = (kcontrast.astype(jnp.float32) * 0.75
@@ -259,31 +315,42 @@ def _build_local(image, plan: PipelinePlan, axis_name: str, n_dev: int,
                 ext = _extend_rows(prev_L_last, 4, axis_name, n_dev)
                 dst_e, smooth_e = down_fn(ext)
                 dst, smooth = dst_e[2:-2], smooth_e[2:-2]
-                flow = S(lambda s: conduct_fn(s, cfg.diffusivity, kcontrast),
-                         smooth, 1)
-                T = len(sp.taus)
-                L = _diffuse(_extend_rows(dst, T, axis_name, n_dev),
-                             _extend_rows(flow, T, axis_name, n_dev),
-                             sp.taus, fixed)
-                L = L[T:-T] if T else L
+                fo = fused_ext((dst, smooth), sp.taus, sp.sigma_size,
+                               ikc=_ikc(kcontrast),
+                               diffusivity=cfg.diffusivity)
+                if fo is None:
+                    flow = S(lambda s: conduct_fn(s, cfg.diffusivity,
+                                                  kcontrast), smooth, 1)
+                    T = len(sp.taus)
+                    L = _diffuse(_extend_rows(dst, T, axis_name, n_dev),
+                                 _extend_rows(flow, T, axis_name, n_dev),
+                                 sp.taus, fixed)
+                    L = L[T:-T] if T else L
             else:
-                smooth = S(lambda a: lowpass_fn(a, 1.0, 5), L_prev, 2)
-                flow = S(lambda s: conduct_fn(s, cfg.diffusivity, kcontrast),
-                         smooth, 1)
-                T = len(sp.taus)
-                L = _diffuse(_extend_rows(L_prev, T, axis_name, n_dev),
-                             _extend_rows(flow, T, axis_name, n_dev),
-                             sp.taus, fixed)
-                L = L[T:-T] if T else L
+                fo = fused_ext((L_prev, None), sp.taus, sp.sigma_size,
+                               ikc=_ikc(kcontrast),
+                               diffusivity=cfg.diffusivity)
+                if fo is None:
+                    smooth = S(lambda a: lowpass_fn(a, 1.0, 5), L_prev, 2)
+                    flow = S(lambda s: conduct_fn(s, cfg.diffusivity,
+                                                  kcontrast), smooth, 1)
+                    T = len(sp.taus)
+                    L = _diffuse(_extend_rows(L_prev, T, axis_name, n_dev),
+                                 _extend_rows(flow, T, axis_name, n_dev),
+                                 sp.taus, fixed)
+                    L = L[T:-T] if T else L
 
-            ss = sp.sigma_size
-            lxe, lye = deriv_fn(_extend_rows(smooth, ss, axis_name, n_dev),
-                                ss)
-            lx, ly = lxe[ss:-ss], lye[ss:-ss]
-            # two separate exchanges (see module docstring: Ly antisymmetry)
-            det = hess_fn(_extend_rows(lx, ss, axis_name, n_dev),
-                          _extend_rows(ly, ss, axis_name, n_dev),
-                          ss)[ss:-ss]
+            if fo is not None:
+                L, det, lx, ly = fo
+            else:
+                ss = sp.sigma_size
+                lxe, lye = deriv_fn(
+                    _extend_rows(smooth, ss, axis_name, n_dev), ss)
+                lx, ly = lxe[ss:-ss], lye[ss:-ss]
+                # two separate exchanges (module docstring: Ly antisymmetry)
+                det = hess_fn(_extend_rows(lx, ss, axis_name, n_dev),
+                              _extend_rows(ly, ss, axis_name, n_dev),
+                              ss)[ss:-ss]
             Ls.append(L)
             dets.append(det)
             lxs.append(lx)

@@ -65,6 +65,46 @@ def test_spatial_scale_space_bit_parity_fixed(mesh8, rng):
     _parity(img, AkazeConfig(pallas_scale_space="off"), mesh8, True, 8)
 
 
+def test_spatial_fused_sublevel_parity(rng, monkeypatch):
+    """The row-sharded tier runs the FUSED Pallas sublevel kernel on
+    halo-extended blocks (interpret mode here): bit-exact vs the unsharded
+    fused path on both flavours, and the kernel must actually engage (no
+    silent XLA fallback)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    import akaze_tpu.ops.pallas_sublevel as psub
+    calls = {"n": 0}
+    real = psub.fused_sublevel
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(psub, "fused_sublevel", counting)
+
+    img = _blob_image(rng, 256, 320)
+    cfg = AkazeConfig(pallas_scale_space="interpret")
+    plan = build_plan(256, 320, cfg)
+    mesh = make_mesh(4)
+    for fixed in (False, True):
+        x = ((np.asarray(img) * 255).astype(np.int32) if fixed
+             else img)
+        x = jnp.asarray(x)
+        ref_o, ref_kc = jax.jit(
+            lambda a: build_scale_space(a, plan, fixed=fixed))(x)
+        calls["n"] = 0
+        sp_o, sp_kc = jax.jit(
+            lambda a: spatial_scale_space(a, plan, mesh, fixed=fixed))(x)
+        assert calls["n"] > 0, "fused kernel never engaged in the shard"
+        np.testing.assert_array_equal(np.asarray(ref_kc),
+                                      np.asarray(sp_kc))
+        for a, b in zip(ref_o, sp_o):
+            for nm in ("L", "det", "lx", "ly"):
+                np.testing.assert_array_equal(np.asarray(getattr(a, nm)),
+                                              np.asarray(getattr(b, nm)),
+                                              err_msg=nm)
+
+
 def _blob_image(rng, h, w):
     """Random 8x8 blobs + noise: enough structure for real keypoints."""
     base = rng.random((h // 8, w // 8)).astype(np.float32)
