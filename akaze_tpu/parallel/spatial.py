@@ -80,8 +80,8 @@ from ..ops.conv import radius_for_ksize
 from ..plan import PipelinePlan
 from ..scale_space import OctaveData, _diffuse
 from ..detect import (FMIN_VAL, IMIN_VAL, Keypoints, build_extrema_maps,
-                      flatten_pyramid, nms, refine_keypoints,
-                      select_keypoints)
+                      build_padded_pyramid, flatten_pyramid, nms,
+                      refine_keypoints, select_keypoints)
 from ..descriptor import (WSIZE, Windows, compute_descriptors,
                           compute_orientation)
 
@@ -550,7 +550,58 @@ def _detect_describe_local(image, plan: PipelinePlan, axis_name: str,
                        for oi in range(len(plan.octaves))])
     kps = refine_keypoints(kps, flat, plan, fixed, row_shift=shift)
 
-    if describe:
+    mode = cfg.pallas_descriptor
+    use_pallas = describe and (
+        mode in ("on", "interpret")
+        or (mode == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from ..descriptor import _SCALE_BANDS
+        use_pallas = len(_SCALE_BANDS) == 1
+    if describe and use_pallas:
+        # flagship path: the fused Pallas descriptor kernel runs per shard
+        # on halo-extended plane stacks (gathered whole for thin deep
+        # octaves), exactly like the single-chip pipeline.  Keypoint y is
+        # shifted into the extended local frame by (hd - row0_o) octave
+        # rows — an exact octave-grid multiple of full-res rows, so the
+        # kernel's yc/yi rounding is unchanged and sampling positions land
+        # on the same values the unsharded kernel reads.
+        from ..descriptor import orient_describe_pallas
+        exact_fixed = fixed and cfg.fixed_exact_sampling
+        sdtype = jnp.float32 if exact_fixed else jnp.bfloat16
+        gathered = _desc_octave_gathered(octaves)
+        hd = WSIZE // 2
+        fill = 0 if fixed else 0.0
+        # common ext height: a gathered deep octave (h_loc * n_dev rows)
+        # can be taller than octave 0's local block, and
+        # build_padded_pyramid sizes planes from octave 0
+        hmax = max(o.L.shape[1] * (n_dev if g else 1)
+                   for o, g in zip(octaves, gathered)) + WSIZE
+        ext_octs = []
+        for o, g in zip(octaves, gathered):
+            def ext(x, g=g):
+                if g and n_dev > 1:
+                    x = lax.all_gather(x, axis_name, axis=1, tiled=True)
+                e = _extend_rows_of(x, hd, axis_name,
+                                    1 if g else n_dev, 1, edge=fill)
+                return jnp.pad(e, ((0, 0), (0, hmax - e.shape[1]), (0, 0)))
+
+            eL = ext(o.L)
+            ext_octs.append(OctaveData(L=eL, det=eL, lx=ext(o.lx),
+                                       ly=ext(o.ly)))
+        extra = (8, 128)
+        pp = build_padded_pyramid(ext_octs, WSIZE, dtype=sdtype,
+                                  extra=extra)
+        yshift = jnp.stack([
+            (jnp.int32(hd << oi)
+             - (jnp.int32(0) if gathered[oi] else row0)).astype(jnp.float32)
+            for oi in range(len(plan.octaves))])
+        o_kp = jnp.maximum(kps.layer // cfg.max_scale, 0)
+        kps_sh = kps._replace(y=kps.y + yshift[o_kp])
+        angle, desc = orient_describe_pallas(
+            kps_sh, pp, plan, interpret=(mode == "interpret"),
+            slack=extra, fixed=exact_fixed)
+        words = desc.words
+    elif describe:
         # mirror the unsharded XLA path's sampling dtype (pipeline.py)
         sdtype = (jnp.bfloat16 if (not fixed and cfg.bf16_sampling)
                   else None)

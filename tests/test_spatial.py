@@ -215,6 +215,36 @@ def test_spatial_describe_parity_gathered_octaves(rng):
     assert np.unpackbits(wa ^ wb).sum() == 0
 
 
+def test_spatial_describe_parity_pallas(rng):
+    """The spatial tier runs the FUSED Pallas descriptor kernel per shard
+    (interpret mode here), on halo-extended plane stacks with keypoint y
+    shifted into the local frame by an exact octave-grid multiple: bits
+    must equal the unsharded Pallas path.  512x160 over 4 devices with 3
+    octaves covers both the halo-exchange (octave 0) and whole-gather
+    (octaves 1-2) window paths."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    img = _blob_image(rng, 512, 160)
+    cfg = AkazeConfig(pallas_scale_space="interpret",
+                      pallas_descriptor="interpret", max_pts=512,
+                      noctaves=3)
+    plan = build_plan(512, 160, cfg)
+    mesh = make_mesh(4)
+    ref = jax.jit(lambda x: detect_and_compute(x, plan))(img)
+    sp = jax.jit(lambda x: spatial_detect_and_compute(x, plan, mesh))(img)
+    n = int(ref.count)
+    assert int(sp.count) == n and n > 50
+    np.testing.assert_array_equal(np.asarray(ref.y)[:n],
+                                  np.asarray(sp.y)[:n])
+    np.testing.assert_array_equal(np.asarray(ref.angle)[:n],
+                                  np.asarray(sp.angle)[:n])
+    # keypoints must land on a gathered octave too
+    assert (np.asarray(ref.layer)[:n] // cfg.max_scale).max() >= 1
+    wa = np.asarray(ref.words)[:n].view(np.uint8)
+    wb = np.asarray(sp.words)[:n].view(np.uint8)
+    assert np.unpackbits(wa ^ wb).sum() == 0
+
+
 def test_spatial_supports_stock_shape_describe():
     """The flagship 960x1280 shape row-shards over 4 devices with full
     description (octaves 2-3 gather; the r2-era WSIZE/2 halo rule would
