@@ -245,6 +245,31 @@ def test_spatial_describe_parity_pallas(rng):
     assert np.unpackbits(wa ^ wb).sum() == 0
 
 
+def test_spatial_describe_parity_pallas_fixed(rng):
+    """Fixed (16.16) flavour of the spatial Pallas descriptor path with
+    bit-faithful f32 sampling (fixed_exact_sampling): bits equal the
+    unsharded fixed Pallas path."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    img = (np.asarray(_blob_image(rng, 512, 160)) * 255).astype(np.int32)
+    img = jnp.asarray(img)
+    cfg = AkazeConfig(pallas_scale_space="interpret",
+                      pallas_descriptor="interpret", max_pts=512,
+                      noctaves=3, fixed_exact_sampling=True)
+    plan = build_plan(512, 160, cfg)
+    mesh = make_mesh(4)
+    ref = jax.jit(lambda x: detect_and_compute(x, plan, fixed=True))(img)
+    sp = jax.jit(lambda x: spatial_detect_and_compute(
+        x, plan, mesh, fixed=True))(img)
+    n = int(ref.count)
+    assert int(sp.count) == n and n > 50
+    np.testing.assert_array_equal(np.asarray(ref.y)[:n],
+                                  np.asarray(sp.y)[:n])
+    wa = np.asarray(ref.words)[:n].view(np.uint8)
+    wb = np.asarray(sp.words)[:n].view(np.uint8)
+    assert np.unpackbits(wa ^ wb).sum() == 0
+
+
 def test_spatial_supports_stock_shape_describe():
     """The flagship 960x1280 shape row-shards over 4 devices with full
     description (octaves 2-3 gather; the r2-era WSIZE/2 halo rule would
