@@ -149,9 +149,15 @@ class Akaze:
     akaze.cpp:109-118)."""
 
     def __init__(self, config: Optional[AkazeConfig] = None,
-                 fixed: bool = False):
+                 fixed: bool = False, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis of
+        more than one device — detection then row-shards each image over
+        it (the oversized-image spatial tier, parallel/spatial.py) with
+        the same cached-program ergonomics as the single-chip path."""
         self.config = config or AkazeConfig()
         self.fixed = fixed
+        self.mesh = mesh if (mesh is not None
+                             and mesh.shape.get("data", 1) > 1) else None
         self._plans = {}
         self._fns = {}
 
@@ -165,8 +171,23 @@ class Akaze:
         key = (height, width, describe)
         if key not in self._fns:
             plan = self.plan_for(height, width)
-            self._fns[key] = partial(_jit_detect_and_compute, plan=plan,
-                                     fixed=self.fixed, describe=describe)
+            if self.mesh is not None:
+                from .parallel.spatial import (spatial_detect_and_compute,
+                                               spatial_supported)
+                n_dev = self.mesh.shape["data"]
+                ok, why = spatial_supported(plan, n_dev, detect=True,
+                                            describe=describe)
+                if not ok:
+                    raise ValueError(f"spatial sharding unsupported for "
+                                     f"{height}x{width} over {n_dev} "
+                                     f"devices: {why}")
+                self._fns[key] = jax.jit(partial(
+                    spatial_detect_and_compute, plan=plan, mesh=self.mesh,
+                    fixed=self.fixed, describe=describe))
+            else:
+                self._fns[key] = partial(_jit_detect_and_compute,
+                                         plan=plan, fixed=self.fixed,
+                                         describe=describe)
         return self._fns[key]
 
     def detect_and_compute(self, image, describe: bool = True) -> Features:

@@ -279,6 +279,32 @@ def test_spatial_supports_stock_shape_describe():
     assert ok, why
 
 
+def test_akaze_wrapper_mesh(rng):
+    """Akaze(mesh=...) routes detection through the spatial tier with the
+    wrapper's cached-program ergonomics; results match the meshless
+    wrapper."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 (virtual) devices")
+    from akaze_tpu import Akaze
+    img = np.asarray(_blob_image(rng, 160, 200))
+    cfg = AkazeConfig(pallas_scale_space="off", pallas_descriptor="off",
+                      max_pts=512)
+    ref = Akaze(cfg).detect_and_compute(img)
+    sp = Akaze(cfg, mesh=make_mesh(2)).detect_and_compute(img)
+    n = int(ref.count)
+    assert int(sp.count) == n and n > 20
+    np.testing.assert_array_equal(np.asarray(ref.x)[:n],
+                                  np.asarray(sp.x)[:n])
+    wa = np.asarray(ref.words)[:n].view(np.uint8)
+    wb = np.asarray(sp.words)[:n].view(np.uint8)
+    assert np.unpackbits(wa ^ wb).sum() == 0
+
+    with pytest.raises(ValueError, match="unsupported"):
+        # 960x1280 over 8 devices: octave-3 blocks too thin
+        Akaze(cfg, mesh=make_mesh(8)).detect_and_compute(
+            np.zeros((960, 1280), np.float32))
+
+
 def test_spatial_supported_rejects_thin_blocks():
     cfg = AkazeConfig()
     plan = build_plan(960, 1280, cfg)
