@@ -66,9 +66,7 @@ def main(argv=None):
         from functools import partial
         from .parallel import make_mesh, spatial_detect_and_compute, \
             spatial_supported
-        from .plan import build_plan
-        sp_plan = build_plan(*left.shape,
-                             AkazeConfig(max_pts=args.max_pts))
+        sp_plan = det.plan_for(*left.shape)
         ok, why = spatial_supported(sp_plan, args.spatial, detect=True,
                                     describe=True)
         if not ok:

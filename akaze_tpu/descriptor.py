@@ -388,26 +388,36 @@ _SCALE_BANDS_3 = (
 
 def _band_kp_params(kps: Keypoints, pp: PaddedPyramid, plan: PipelinePlan,
                     ly: int, lx: int, plane_base: int = 0,
-                    nplanes: int = None):
+                    nplanes: int = None, row_off=None):
     """iparams/fparams for the fused kernel, window origin centred for a
     (ly, lx) logical window (x clamps exactly like extract_windows;
     sampling positions are absolute so the origin choice is value-neutral).
 
     ``plane_base``/``nplanes``: when ``pp`` stacks several images'
     pyramids (pair batching), the planes of this keypoint set start at
-    ``plane_base`` and the per-image plane count is ``nplanes``."""
+    ``plane_base`` and the per-image plane count is ``nplanes``.
+
+    ``row_off``: optional [noctaves] int32 per-octave row offset of the
+    pyramid planes vs global octave rows (the spatial tier's halo-extended
+    shards).  Applied in the INTEGER domain — yc/yi shift exactly and the
+    window-relative float center subtracts the globalized origin, which
+    stays within the window of ``kps.y * iratio`` so the subtraction is
+    exact — shifting the float ``kps.y`` itself could drop mantissa bits
+    and flip the +-0.5 roundings."""
     ms = plan.config.max_scale
     if nplanes is None:
         nplanes = pp.L.shape[0]
     p = jnp.clip(kps.layer, 0, nplanes - 1) + plane_base
     o = jnp.maximum(kps.layer // ms, 0)
+    off = (jnp.zeros_like(o) if row_off is None
+           else row_off[o].astype(jnp.int32))
     iratio = 1.0 / (1 << o).astype(jnp.float32)
     xc = (kps.x * iratio + 0.5).astype(jnp.int32)
-    yc = (kps.y * iratio + 0.5).astype(jnp.int32)
+    yc = (kps.y * iratio + 0.5).astype(jnp.int32) + off
     wo = pp.widths[p]
     ho = pp.heights[p]
     xi = (kps.x + 0.5).astype(jnp.int32) >> o
-    yi = (kps.y + 0.5).astype(jnp.int32) >> o
+    yi = ((kps.y + 0.5).astype(jnp.int32) >> o) + off
     iscale = (kps.size + 0.5).astype(jnp.int32)
     zero_i = jnp.zeros_like(p)
     zero_f = jnp.zeros_like(kps.x)
@@ -415,7 +425,7 @@ def _band_kp_params(kps: Keypoints, pp: PaddedPyramid, plan: PipelinePlan,
     y0 = jnp.clip(yc - ly // 2, 0, jnp.maximum(ho - ly, 0))
     ip = jnp.stack([p, y0, x0, yi - y0, xi - x0, iscale, zero_i,
                     zero_i], axis=1)
-    fp = jnp.stack([kps.y * iratio - y0.astype(jnp.float32),
+    fp = jnp.stack([kps.y * iratio - (y0 - off).astype(jnp.float32),
                     kps.x * iratio - x0.astype(jnp.float32),
                     iscale.astype(jnp.float32), zero_f], axis=1)
     return ip, fp
@@ -424,7 +434,7 @@ def _band_kp_params(kps: Keypoints, pp: PaddedPyramid, plan: PipelinePlan,
 def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
                                  plan: PipelinePlan,
                                  interpret: bool = False, slack=(0, 0),
-                                 fixed: bool = False):
+                                 fixed: bool = False, row_off=None):
     """ONE fused-kernel launch over several images' keypoint sets.
 
     ``pp`` stacks the images' padded pyramids along the plane axis
@@ -447,7 +457,8 @@ def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
     ips, fps = [], []
     for i, kps in enumerate(kps_list):
         ip, fp = _band_kp_params(kps, pp, plan, ly, lx,
-                                 plane_base=i * nplanes, nplanes=nplanes)
+                                 plane_base=i * nplanes, nplanes=nplanes,
+                                 row_off=row_off)
         ip = ip.at[:, 6].set(kps.valid.astype(jnp.int32))
         rem = (-ip.shape[0]) % KB
         if rem:
@@ -476,7 +487,8 @@ def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
 
 def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
                            plan: PipelinePlan, interpret: bool = False,
-                           slack=(0, 0), fixed: bool = False):
+                           slack=(0, 0), fixed: bool = False,
+                           row_off=None):
     """Orientation + MLDB descriptor via the fused Pallas kernel
     (ops/pallas_describe.py); numerically equivalent to
     compute_orientation + compute_descriptors on the float path up to
@@ -506,7 +518,7 @@ def orient_describe_pallas(kps: Keypoints, pp: PaddedPyramid,
         # roll/recombine at N=10k that a single band does not need) —
         # exactly the one-segment case of the pair-batched launcher
         return orient_describe_pallas_multi([kps], pp, plan, interpret,
-                                            slack, fixed)[0]
+                                            slack, fixed, row_off)[0]
 
     # group keypoints by band with a stable counting sort (cumsum ranks —
     # no argsort); invalid slots group last (band id past every real band)

@@ -408,6 +408,18 @@ def _desc_octave_gathered(octaves):
     return [o.L.shape[1] - 1 < WSIZE // 2 for o in octaves]
 
 
+def _ext_octave_rows(x, g: bool, hd: int, axis_name: str, n_dev: int,
+                     fill):
+    """WSIZE/2 window halo for one octave's [S, h, w] plane stack: a thin
+    gathered octave takes the whole plane + constant pad; the rest
+    exchange genuine neighbour rows (constant fill at the global edges —
+    the rows the unsharded PaddedPyramid zero-pads)."""
+    if g and n_dev > 1:
+        x = lax.all_gather(x, axis_name, axis=1, tiled=True)
+    return _extend_rows_of(x, hd, axis_name, 1 if g else n_dev, 1,
+                           edge=fill)
+
+
 def _ext_desc_stack(octaves, axis_name: str, n_dev: int, fill, sdtype,
                     plan: PipelinePlan):
     """Halo-extended [P, Hc, Wc] plane stacks for window extraction.
@@ -436,12 +448,7 @@ def _ext_desc_stack(octaves, axis_name: str, n_dev: int, fill, sdtype,
         s, h, w = o.L.shape
 
         def prep(x):
-            if g and n_dev > 1:
-                x = lax.all_gather(x, axis_name, axis=1, tiled=True)
-            # gathered planes take the same constant pad as the unsharded
-            # PaddedPyramid; sharded ones exchange genuine neighbour rows
-            e = _extend_rows_of(x, hd, axis_name, 1 if g else n_dev, 1,
-                                edge=fill)
+            e = _ext_octave_rows(x, g, hd, axis_name, n_dev, fill)
             if sdtype is not None:
                 e = e.astype(sdtype)
             return jnp.pad(e, ((0, 0), (0, hc - (he + WSIZE)),
@@ -560,11 +567,11 @@ def _detect_describe_local(image, plan: PipelinePlan, axis_name: str,
     if describe and use_pallas:
         # flagship path: the fused Pallas descriptor kernel runs per shard
         # on halo-extended plane stacks (gathered whole for thin deep
-        # octaves), exactly like the single-chip pipeline.  Keypoint y is
-        # shifted into the extended local frame by (hd - row0_o) octave
-        # rows — an exact octave-grid multiple of full-res rows, so the
-        # kernel's yc/yi rounding is unchanged and sampling positions land
-        # on the same values the unsharded kernel reads.
+        # octaves), exactly like the single-chip pipeline.  Keypoints stay
+        # in global coordinates; the per-octave (hd - row0_o) offset into
+        # the extended local frame is applied inside _band_kp_params in
+        # the integer domain, so yc/yi rounding and every absolute
+        # sampling position match the unsharded kernel bit-for-bit.
         from ..descriptor import orient_describe_pallas
         exact_fixed = fixed and cfg.fixed_exact_sampling
         sdtype = jnp.float32 if exact_fixed else jnp.bfloat16
@@ -579,10 +586,7 @@ def _detect_describe_local(image, plan: PipelinePlan, axis_name: str,
         ext_octs = []
         for o, g in zip(octaves, gathered):
             def ext(x, g=g):
-                if g and n_dev > 1:
-                    x = lax.all_gather(x, axis_name, axis=1, tiled=True)
-                e = _extend_rows_of(x, hd, axis_name,
-                                    1 if g else n_dev, 1, edge=fill)
+                e = _ext_octave_rows(x, g, hd, axis_name, n_dev, fill)
                 return jnp.pad(e, ((0, 0), (0, hmax - e.shape[1]), (0, 0)))
 
             eL = ext(o.L)
@@ -591,15 +595,17 @@ def _detect_describe_local(image, plan: PipelinePlan, axis_name: str,
         extra = (8, 128)
         pp = build_padded_pyramid(ext_octs, WSIZE, dtype=sdtype,
                                   extra=extra)
-        yshift = jnp.stack([
-            (jnp.int32(hd << oi)
-             - (jnp.int32(0) if gathered[oi] else row0)).astype(jnp.float32)
+        # per-octave offset of the extended planes vs global octave rows,
+        # applied in the INTEGER domain inside _band_kp_params (a float
+        # shift of kps.y could drop mantissa bits and flip its +-0.5
+        # roundings)
+        row_off = jnp.stack([
+            jnp.int32(hd) - (jnp.int32(0) if gathered[oi]
+                             else (row0 >> oi))
             for oi in range(len(plan.octaves))])
-        o_kp = jnp.maximum(kps.layer // cfg.max_scale, 0)
-        kps_sh = kps._replace(y=kps.y + yshift[o_kp])
         angle, desc = orient_describe_pallas(
-            kps_sh, pp, plan, interpret=(mode == "interpret"),
-            slack=extra, fixed=exact_fixed)
+            kps, pp, plan, interpret=(mode == "interpret"),
+            slack=extra, fixed=exact_fixed, row_off=row_off)
         words = desc.words
     elif describe:
         # mirror the unsharded XLA path's sampling dtype (pipeline.py)

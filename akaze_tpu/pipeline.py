@@ -156,8 +156,12 @@ class Akaze:
         the same cached-program ergonomics as the single-chip path."""
         self.config = config or AkazeConfig()
         self.fixed = fixed
+        if mesh is not None and "data" not in mesh.shape:
+            raise ValueError(
+                f"mesh axes {tuple(mesh.shape)} have no 'data' axis — the "
+                "spatial tier shards image rows over mesh['data']")
         self.mesh = mesh if (mesh is not None
-                             and mesh.shape.get("data", 1) > 1) else None
+                             and mesh.shape["data"] > 1) else None
         self._plans = {}
         self._fns = {}
 
@@ -172,8 +176,7 @@ class Akaze:
         if key not in self._fns:
             plan = self.plan_for(height, width)
             if self.mesh is not None:
-                from .parallel.spatial import (spatial_detect_and_compute,
-                                               spatial_supported)
+                from .parallel.spatial import spatial_supported
                 n_dev = self.mesh.shape["data"]
                 ok, why = spatial_supported(plan, n_dev, detect=True,
                                             describe=describe)
@@ -181,9 +184,10 @@ class Akaze:
                     raise ValueError(f"spatial sharding unsupported for "
                                      f"{height}x{width} over {n_dev} "
                                      f"devices: {why}")
-                self._fns[key] = jax.jit(partial(
-                    spatial_detect_and_compute, plan=plan, mesh=self.mesh,
-                    fixed=self.fixed, describe=describe))
+                self._fns[key] = partial(_jit_spatial_detect_and_compute,
+                                         plan=plan, mesh=self.mesh,
+                                         fixed=self.fixed,
+                                         describe=describe)
             else:
                 self._fns[key] = partial(_jit_detect_and_compute,
                                          plan=plan, fixed=self.fixed,
@@ -207,11 +211,18 @@ class Akaze:
 
     def detect_and_compute_pair(self, image_a, image_b):
         """Both images of a pair through one pair-batched program (see
-        ``detect_and_compute_pair``).  Returns (features_a, features_b)."""
+        ``detect_and_compute_pair``).  Returns (features_a, features_b).
+
+        With a mesh, each image runs the row-sharded spatial program
+        instead (per-image HBM is the reason the mesh exists; batching
+        the pair onto one device would defeat it)."""
         conv = (lambda im: jnp.asarray(im).astype(
             jnp.int32 if self.fixed else jnp.float32))
         a, b = conv(image_a), conv(image_b)
         assert a.shape == b.shape, "pair batching needs equal shapes"
+        if self.mesh is not None:
+            fn = self._fn_for(*a.shape, True)
+            return fn(a), fn(b)
         plan = self.plan_for(*a.shape)
         return _jit_detect_and_compute_pair(a, b, plan=plan,
                                             fixed=self.fixed)
@@ -236,6 +247,15 @@ def _jit_match(w1, v1, w2, v2, x2, y2, max_dist):
 @partial(jax.jit, static_argnames=("plan", "fixed", "describe"))
 def _jit_detect_and_compute(image, plan, fixed, describe):
     return detect_and_compute(image, plan, fixed, describe)
+
+
+# Mesh is hashable, so the row-sharded program shares one compilation
+# across Akaze instances exactly like the single-chip wrapper above
+@partial(jax.jit, static_argnames=("plan", "mesh", "fixed", "describe"))
+def _jit_spatial_detect_and_compute(image, plan, mesh, fixed, describe):
+    from .parallel.spatial import spatial_detect_and_compute
+    return spatial_detect_and_compute(image, plan, mesh, fixed=fixed,
+                                      describe=describe)
 
 
 @partial(jax.jit, static_argnames=("plan", "fixed"))

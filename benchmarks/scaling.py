@@ -75,14 +75,17 @@ def bench_spatial(n_devices: int, repeats: int = 3, h: int = 512,
     mesh = make_mesh(n_devices)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
-    fn = jax.jit(partial(spatial_detect_and_compute, plan=plan, mesh=mesh))
-    f = fn(img)
-    jax.block_until_ready(f.words)
-    t0 = time.time()
-    for _ in range(repeats):
-        f = fn(img)
-    jax.block_until_ready(f.words)
-    return repeats / (time.time() - t0), ""  # frames per second
+
+    # in-graph scan differencing (repo benchmarking rule: eager timing
+    # carries the ~100 ms relay dispatch per call on the real chip)
+    from akaze_tpu.profiling import scan_time
+
+    def once(x):
+        f = spatial_detect_and_compute(x, plan, mesh)
+        return f.x[0] + f.words[0, 0].astype(jnp.float32)
+
+    per_iter = scan_time(once, img, n1=1, n2=1 + max(repeats, 1))
+    return 1.0 / per_iter, ""  # frames per second
 
 
 def main():
