@@ -299,10 +299,25 @@ def test_akaze_wrapper_mesh(rng):
     wb = np.asarray(sp.words)[:n].view(np.uint8)
     assert np.unpackbits(wa ^ wb).sum() == 0
 
+    # pair entry point routes each image through the spatial program
+    # (instead of silently ignoring the mesh)
+    img_b = np.asarray(_blob_image(rng, 160, 200))
+    ra, rb = Akaze(cfg).detect_and_compute_pair(img, img_b)
+    sa, sb = Akaze(cfg, mesh=make_mesh(2)).detect_and_compute_pair(
+        img, img_b)
+    assert int(sa.count) == int(ra.count)
+    assert int(sb.count) == int(rb.count)
+    np.testing.assert_array_equal(
+        np.asarray(rb.x)[:int(rb.count)], np.asarray(sb.x)[:int(rb.count)])
+
     with pytest.raises(ValueError, match="unsupported"):
         # 960x1280 over 8 devices: octave-3 blocks too thin
         Akaze(cfg, mesh=make_mesh(8)).detect_and_compute(
             np.zeros((960, 1280), np.float32))
+
+    with pytest.raises(ValueError, match="data"):
+        from jax.sharding import Mesh
+        Akaze(cfg, mesh=Mesh(np.array(jax.devices()[:2]), ("x",)))
 
 
 def test_spatial_supported_rejects_thin_blocks():
