@@ -86,6 +86,19 @@ def test_spatial_fused_sublevel_parity(rng, monkeypatch):
     cfg = AkazeConfig(pallas_scale_space="interpret")
     plan = build_plan(256, 320, cfg)
     mesh = make_mesh(4)
+
+    # 8 devices: octave-1 blocks (16 rows) can't cover the fused halo and
+    # fall back per sublevel to the XLA stencils while octave 0 stays
+    # fused — the MIXED composition must still be exact vs the unsharded
+    # fused path (which fuses everything)
+    ref8_o, _ = jax.jit(lambda a: build_scale_space(a, plan))(img)
+    sp8_o, _ = jax.jit(lambda a: spatial_scale_space(
+        a, plan, make_mesh(8)))(img)
+    np.testing.assert_allclose(np.asarray(ref8_o[1].L),
+                               np.asarray(sp8_o[1].L), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref8_o[0].det),
+                                  np.asarray(sp8_o[0].det))
+
     for fixed in (False, True):
         x = ((np.asarray(img) * 255).astype(np.int32) if fixed
              else img)
