@@ -38,4 +38,29 @@ timeout 580 python benchmarks/flavour_bench.py 2>/dev/null | tee /tmp/r3_tpu/fla
 # 4. stage profile
 timeout 580 python benchmarks/profile_stages.py 2>/dev/null | tee /tmp/r3_tpu/stages.txt
 
+# 5. spatial tier on the real chip: 1-device mesh exercises the
+# Mosaic-kernels-inside-shard_map composition on hardware (multi-device
+# needs a pod slice); keypoints must match the unsharded program
+timeout 580 python - <<'EOF' 2>&1 | tail -3 | tee /tmp/r3_tpu/spatial_1dev.txt
+import numpy as np, jax.numpy as jnp
+from functools import partial
+import jax
+from akaze_tpu import AkazeConfig
+from akaze_tpu.plan import build_plan
+from akaze_tpu.pipeline import detect_and_compute
+from akaze_tpu.parallel import make_mesh, spatial_detect_and_compute
+from akaze_tpu.io import load_pgm
+L = jnp.asarray(load_pgm('/root/reference/data/left.pgm').astype(np.float32)/255)
+cfg = AkazeConfig(max_pts=10000)
+plan = build_plan(*L.shape, cfg)
+ref = jax.jit(partial(detect_and_compute, plan=plan))(L)
+sp = jax.jit(partial(spatial_detect_and_compute, plan=plan,
+                     mesh=make_mesh(1)))(L)
+n = int(ref.count)
+print("counts", n, int(sp.count))
+wa = np.asarray(ref.words)[:n].view(np.uint8)
+wb = np.asarray(sp.words)[:n].view(np.uint8)
+print("descriptor bit diffs:", int(np.unpackbits(wa ^ wb).sum()))
+EOF
+
 echo RUNBOOK-DONE
