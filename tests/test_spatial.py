@@ -99,15 +99,21 @@ def test_spatial_fused_sublevel_parity(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref8_o[0].det),
                                   np.asarray(sp8_o[0].det))
 
-    for fixed in (False, True):
+    from akaze_tpu.config import Diffusivity
+    cases = [(False, Diffusivity.PM_G2), (True, Diffusivity.PM_G2),
+             (False, Diffusivity.WEICKERT)]
+    for fixed, diff in cases:
+        pl = (plan if diff == Diffusivity.PM_G2 else build_plan(
+            256, 320, AkazeConfig(pallas_scale_space="interpret",
+                                  diffusivity=diff)))
         x = ((np.asarray(img) * 255).astype(np.int32) if fixed
              else img)
         x = jnp.asarray(x)
         ref_o, ref_kc = jax.jit(
-            lambda a: build_scale_space(a, plan, fixed=fixed))(x)
+            lambda a: build_scale_space(a, pl, fixed=fixed))(x)
         calls["n"] = 0
         sp_o, sp_kc = jax.jit(
-            lambda a: spatial_scale_space(a, plan, mesh, fixed=fixed))(x)
+            lambda a: spatial_scale_space(a, pl, mesh, fixed=fixed))(x)
         assert calls["n"] > 0, "fused kernel never engaged in the shard"
         np.testing.assert_array_equal(np.asarray(ref_kc),
                                       np.asarray(sp_kc))
