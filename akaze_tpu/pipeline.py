@@ -119,11 +119,16 @@ def detect_and_compute_pair(image_a, image_b, plan: PipelinePlan,
     # sublevel walking both images' row blocks
     octs_pair, _ = build_scale_space(jnp.stack([image_a, image_b]), plan,
                                      fixed)
-    kps2 = jax.vmap(lambda o: detect_keypoints(o, plan, fixed))(octs_pair)
-    kps_a = jax.tree.map(lambda x: x[0], kps2)
-    kps_b = jax.tree.map(lambda x: x[1], kps2)
     octs_a = jax.tree.map(lambda x: x[0], octs_pair)
     octs_b = jax.tree.map(lambda x: x[1], octs_pair)
+    # detection runs the tuned UNBATCHED program per image inside the one
+    # jitted pair program.  vmapping detect_keypoints instead re-lowers its
+    # hand-shaped ops into the catastrophic batched forms the single-image
+    # path was built to avoid (batched top_k / 4D transposes / batched
+    # gathers): measured 34.2 ms for the pair against 2x1.8 ms unbatched
+    # (benchmarks/pair_bisect.py, v5e, r3).
+    kps_a = detect_keypoints(octs_a, plan, fixed)
+    kps_b = detect_keypoints(octs_b, plan, fixed)
 
     extra = (8, 128)
     exact_fixed = fixed and plan.config.fixed_exact_sampling

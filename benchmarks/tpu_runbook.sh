@@ -58,8 +58,8 @@ sp = jax.jit(partial(spatial_detect_and_compute, plan=plan,
                      mesh=make_mesh(1)))(L)
 n = int(ref.count)
 print("counts", n, int(sp.count))
-wa = np.asarray(ref.words)[:n].view(np.uint8)
-wb = np.asarray(sp.words)[:n].view(np.uint8)
+wa = np.ascontiguousarray(np.asarray(ref.words)[:n]).view(np.uint8)
+wb = np.ascontiguousarray(np.asarray(sp.words)[:n]).view(np.uint8)
 print("descriptor bit diffs:", int(np.unpackbits(wa ^ wb).sum()))
 EOF
 
