@@ -238,6 +238,14 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
         slot = step % 2
 
         def compute_block(step, slot):
+            if parts == "dma":
+                # measurement mode: window streaming only (one elementwise
+                # touch so the DMA cannot be elided), no sampling compute
+                angle_ref[...] = jnp.broadcast_to(
+                    jnp.sum(wnd[slot, 0, :8, :128].astype(jnp.float32)),
+                    (kb, WSIZE))
+                acc_ref[...] = jnp.zeros((kb, WSIZE), jnp.float32)
+                return
             # ---- gather per-keypoint scalars into [1, kb] rows ----
             sy_l, sx_l, yc_l, xc_l, sc_l, oy_l, ox_l, isc_l = ([] for _
                                                                in range(8))
@@ -434,13 +442,19 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                         preferred_element_type=jnp.float32)  # [NPAD, 3WX]
                     c = one_hot_rows(xp[:, j:j + 1], wx, sdt)
                     c3 = jnp.concatenate([c, c, c], axis=1)
-                    Pj = (T.astype(sdt) * c3).astype(jnp.float32)
+                    # the product has exactly ONE nonzero per (tap, chunk)
+                    # row — the selected sample — so the chunk reductions
+                    # are exact in the sampling dtype itself (bf16 on the
+                    # float path); keeping them narrow halves the VPU
+                    # bytes of the kernel's hottest elementwise stage
+                    Pj = T.astype(sdt) * c3
                     # reduce each WX chunk: [NPAD, 3WX] -> [NPAD, 3]
                     Sj = (jnp.sum(Pj[:, :wx], axis=1, keepdims=True),
                           jnp.sum(Pj[:, wx:2 * wx], axis=1, keepdims=True),
                           jnp.sum(Pj[:, 2 * wx:], axis=1, keepdims=True))
                     Ss.extend(Sj)
-                S_all = jnp.concatenate(Ss, axis=1)         # [NPAD, 3kb]
+                S_all = jnp.concatenate(Ss, axis=1).astype(
+                    jnp.float32)                            # [NPAD, 3kb]
                 if fixed:
                     # per-tap rotation + int truncation BEFORE the cell
                     # sums (akazed.cu:3779-3780).  Column t = 3j + c holds

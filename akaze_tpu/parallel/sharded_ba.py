@@ -54,13 +54,24 @@ def sharded_bundle_adjust(R, t, X, prob: BAProblem, mesh: Mesh,
     ``("chip", "host")`` on a multi-host mesh.  Returns
     (R, t, X, final_cost), all fully replicated.
     """
-    n_cams = R.shape[0]
-    n_pts = X.shape[0]
     axis = normalize_axes(axis)
     n_dev = axis_size(mesh, axis)
     assert prob.cam.shape[0] % n_dev == 0, "pad observations first"
     if fixed_cam_mask is None:
-        fixed_cam_mask = jnp.zeros(n_cams, bool).at[0].set(True)
+        fixed_cam_mask = jnp.zeros(R.shape[0], bool).at[0].set(True)
+    return _run_sharded_ba(R, t, X, prob, fixed_cam_mask, mesh=mesh,
+                           iters=iters, cg_iters=cg_iters, lam0=lam0,
+                           axis=axis)
+
+
+# module-level jit: repeated solves at the same (bucketed) shapes reuse one
+# compiled program — a per-call jax.jit(closure) recompiled every call
+@partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters", "lam0",
+                                   "axis"))
+def _run_sharded_ba(R, t, X, prob, fixed_cam_mask, *, mesh, iters,
+                    cg_iters, lam0, axis):
+    n_cams = R.shape[0]
+    n_pts = X.shape[0]
 
     def local_cost(R, t, X, lprob):
         return jax.lax.psum(ba_cost(R, t, X, lprob), axis)
@@ -101,7 +112,7 @@ def sharded_bundle_adjust(R, t, X, prob: BAProblem, mesh: Mesh,
         (R, t, X, _), _ = jax.lax.scan(lm_step, state, None, length=iters)
         return R, t, X, local_cost(R, t, X, lprob)
 
-    return jax.jit(run)(R, t, X, prob, fixed_cam_mask)
+    return run(R, t, X, prob, fixed_cam_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -125,8 +136,9 @@ class LandmarkPartition(NamedTuple):
     obs_per_shard: int
 
 
-def partition_landmarks(prob: BAProblem, n_pts: int,
-                        n_shards: int) -> LandmarkPartition:
+def partition_landmarks(prob: BAProblem, n_pts: int, n_shards: int,
+                        min_pts_per_shard: int = 0,
+                        min_obs_per_shard: int = 0) -> LandmarkPartition:
     """Partition landmarks (and their observations) into ``n_shards`` blocks.
 
     Greedy balancing: points are assigned to shards round-robin in
@@ -134,6 +146,11 @@ def partition_landmarks(prob: BAProblem, n_pts: int,
     the observation count per shard within one point's observations of
     balanced.  Padding observations carry weight 0 and reference local point
     0 of their shard (harmless: zero weight zeroes their Jacobians).
+
+    ``min_pts_per_shard``/``min_obs_per_shard`` floor the per-shard
+    capacities so callers can bucket them (e.g. to powers of two) and reuse
+    one compiled ``landmark_sharded_bundle_adjust`` program as the problem
+    grows.
     """
     cam = np.asarray(prob.cam)
     pt = np.asarray(prob.pt)
@@ -152,10 +169,11 @@ def partition_landmarks(prob: BAProblem, n_pts: int,
         shard_sizes[d] += max(int(counts[p]), 1)
         shard_pts[d].append(int(p))
 
-    pts_per_shard = max(len(s) for s in shard_pts)
+    pts_per_shard = max(max(len(s) for s in shard_pts), min_pts_per_shard)
+    pts_per_shard = pts_per_shard + (-pts_per_shard) % 8
     obs_dev = [np.nonzero(live & (shard_of[pt] == d))[0]
                for d in range(n_shards)]
-    obs_per_shard = max(len(o) for o in obs_dev)
+    obs_per_shard = max(max(len(o) for o in obs_dev), min_obs_per_shard)
     # round observation rows up to a lane-friendly multiple
     obs_per_shard = obs_per_shard + (-obs_per_shard) % 8
 
@@ -220,15 +238,22 @@ def landmark_sharded_bundle_adjust(R, t, X, part: LandmarkPartition,
     ``("chip", "host")``.  Returns (R, t, X_sharded, final_cost); map
     X_sharded back with ``scatter_points``.
     """
-    n_cams = R.shape[0]
     axis = normalize_axes(axis)
     n_dev = axis_size(mesh, axis)
     assert X.shape[0] == n_dev * part.pts_per_shard, \
         "X must come from gather_points with matching shard count"
-    n_local = part.pts_per_shard
-    prob = part.prob
     if fixed_cam_mask is None:
-        fixed_cam_mask = jnp.zeros(n_cams, bool).at[0].set(True)
+        fixed_cam_mask = jnp.zeros(R.shape[0], bool).at[0].set(True)
+    return _run_landmark_sharded_ba(R, t, X, part.prob, fixed_cam_mask,
+                                    mesh=mesh, iters=iters,
+                                    cg_iters=cg_iters, lam0=lam0, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters", "lam0",
+                                   "axis"))
+def _run_landmark_sharded_ba(R, t, X, prob, fixed_cam_mask, *, mesh, iters,
+                             cg_iters, lam0, axis):
+    n_cams = R.shape[0]
 
     def local_cost(R, t, X, lprob):
         return jax.lax.psum(ba_cost(R, t, X, lprob), axis)
@@ -239,6 +264,7 @@ def landmark_sharded_bundle_adjust(R, t, X, part: LandmarkPartition,
              out_specs=(P(), P(), P(axis), P()), check_vma=False)
     def run(R, t, X, lprob, fixed_mask):
         free = (~fixed_mask).astype(R.dtype)[:, None]
+        n_local = X.shape[0]      # local landmark block of this shard
 
         def lm_step(state, _):
             R, t, X, lam = state
@@ -267,4 +293,4 @@ def landmark_sharded_bundle_adjust(R, t, X, part: LandmarkPartition,
         (R, t, X, _), _ = jax.lax.scan(lm_step, state, None, length=iters)
         return R, t, X, local_cost(R, t, X, lprob)
 
-    return jax.jit(run)(R, t, X, prob, fixed_cam_mask)
+    return run(R, t, X, prob, fixed_cam_mask)

@@ -47,12 +47,23 @@ def sharded_optimize_pose_graph(R, t, graph: PoseGraph, mesh: Mesh,
     axis name or an innermost-first hierarchy like ``("chip", "host")``.
     Returns (R, t, final_cost), fully replicated.
     """
-    n = R.shape[0]
     axis = normalize_axes(axis)
     n_dev = axis_size(mesh, axis)
     assert graph.i.shape[0] % n_dev == 0, "pad edges first"
     if fixed_mask is None:
-        fixed_mask = jnp.zeros(n, bool).at[0].set(True)
+        fixed_mask = jnp.zeros(R.shape[0], bool).at[0].set(True)
+    return _run_sharded_pgo(R, t, graph, fixed_mask, mesh=mesh,
+                            iters=iters, cg_iters=cg_iters,
+                            damping=damping, axis=axis)
+
+
+# module-level jit: repeated solves at the same (bucketed) shapes reuse one
+# compiled program — a per-call jax.jit(closure) recompiled every optimize()
+@partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters", "damping",
+                                   "axis"))
+def _run_sharded_pgo(R, t, graph, fixed_mask, *, mesh, iters, cg_iters,
+                     damping, axis):
+    n = R.shape[0]
 
     def cost_local(R, t, g):
         r = _edge_residuals(R, t, g)
@@ -63,7 +74,7 @@ def sharded_optimize_pose_graph(R, t, graph: PoseGraph, mesh: Mesh,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), spec_g, P()),
              out_specs=(P(), P(), P()), check_vma=False)
-    def run(R, t, g, fixed):
+    def run_shmap(R, t, g, fixed):
         free = (~fixed).astype(R.dtype)[:, None]
 
         def gn_step(state, _):
@@ -98,4 +109,4 @@ def sharded_optimize_pose_graph(R, t, graph: PoseGraph, mesh: Mesh,
         (R, t), _ = jax.lax.scan(gn_step, state, None, length=iters)
         return R, t, cost_local(R, t, g)
 
-    return jax.jit(run)(R, t, graph, fixed_mask)
+    return run_shmap(R, t, graph, fixed_mask)

@@ -96,8 +96,10 @@ def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
 def detect_and_compute_pair(image_a, image_b, plan: PipelinePlan,
                             fixed: bool = False):
     """Pair-batched detect+describe: both images of a matching pair in ONE
-    program — vmapped detection over the stacked pyramids and a single
-    fused descriptor launch over the concatenated keypoint sets.  The
+    program — batched scale space, the tuned unbatched detection program
+    run per image inside the one jitted pair program (see the inline note
+    below on why detection is NOT vmapped), and a single fused descriptor
+    launch over the concatenated keypoint sets.  The
     reference processes the two images back-to-back with per-image kernel
     launches (main.cpp:199-205); batching the pair halves the per-launch
     fixed cost, the dead grid steps, and the per-image select/pad op
@@ -154,13 +156,20 @@ class Akaze:
     akaze.cpp:109-118)."""
 
     def __init__(self, config: Optional[AkazeConfig] = None,
-                 fixed: bool = False, mesh=None):
+                 fixed: bool = False, mesh=None,
+                 spatial_fallback: bool = False):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis of
         more than one device — detection then row-shards each image over
         it (the oversized-image spatial tier, parallel/spatial.py) with
-        the same cached-program ergonomics as the single-chip path."""
+        the same cached-program ergonomics as the single-chip path.
+
+        ``spatial_fallback``: with a mesh, shapes the spatial tier cannot
+        shard (too small / odd octave splits) fall back to the single-chip
+        program instead of raising — for callers feeding mixed frame sizes
+        (e.g. the SLAM front-end under a mesh)."""
         self.config = config or AkazeConfig()
         self.fixed = fixed
+        self.spatial_fallback = spatial_fallback
         if mesh is not None and "data" not in mesh.shape:
             raise ValueError(
                 f"mesh axes {tuple(mesh.shape)} have no 'data' axis — the "
@@ -185,14 +194,18 @@ class Akaze:
                 n_dev = self.mesh.shape["data"]
                 ok, why = spatial_supported(plan, n_dev, detect=True,
                                             describe=describe)
-                if not ok:
+                if not ok and not self.spatial_fallback:
                     raise ValueError(f"spatial sharding unsupported for "
                                      f"{height}x{width} over {n_dev} "
                                      f"devices: {why}")
-                self._fns[key] = partial(_jit_spatial_detect_and_compute,
-                                         plan=plan, mesh=self.mesh,
-                                         fixed=self.fixed,
-                                         describe=describe)
+                if ok:
+                    self._fns[key] = partial(
+                        _jit_spatial_detect_and_compute, plan=plan,
+                        mesh=self.mesh, fixed=self.fixed, describe=describe)
+                else:
+                    self._fns[key] = partial(_jit_detect_and_compute,
+                                             plan=plan, fixed=self.fixed,
+                                             describe=describe)
             else:
                 self._fns[key] = partial(_jit_detect_and_compute,
                                          plan=plan, fixed=self.fixed,

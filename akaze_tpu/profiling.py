@@ -49,17 +49,21 @@ def scan_time(fn, *args, n1: int = 2, n2: int = 12, trials: int = 1):
             return c
         return run
 
-    results = []
+    # difference of per-n minima (not min of per-trial differences, which
+    # is biased negative under dispatch jitter: any trial pairing a slow
+    # n1 dispatch with a fast n2 dispatch yields a spuriously small — even
+    # negative — difference, and min() then selects exactly those)
+    best = {}
+    runs = {n: make(n) for n in (n1, n2)}
+    for n in (n1, n2):
+        float(runs[n](*args))  # compile + warm
     for _ in range(trials):
-        ts = []
         for n in (n1, n2):
-            run = make(n)
-            float(run(*args))  # compile + warm
             t = time.time()
-            float(run(*args))
-            ts.append(time.time() - t)
-        results.append((ts[1] - ts[0]) / (n2 - n1))
-    return min(results)
+            float(runs[n](*args))
+            dt = time.time() - t
+            best[n] = min(best.get(n, dt), dt)
+    return (best[n2] - best[n1]) / (n2 - n1)
 
 
 def report(name, fn, *args, **kw):

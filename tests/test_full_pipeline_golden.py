@@ -93,7 +93,8 @@ def test_full_pipeline_matches_golden_160x208(base_image):
 @pytest.mark.skipif(
     not __import__("os").environ.get("RUN_FULLRES"),
     reason="full-res oracle takes many minutes on the 1-CPU box; run "
-           "explicitly with RUN_FULLRES=1 (recorded in BENCH_NOTES.md)")
+           "explicitly with RUN_FULLRES=1 (r4 execution recorded in "
+           "BENCH_NOTES.md 'Full-res golden')")
 def test_full_pipeline_matches_golden_960x1280(base_image):
     """The headline shape itself (960x1280, the stock pair) against the
     numpy oracle — full-res-only drift (e.g. tile-cap interactions at

@@ -1,0 +1,35 @@
+"""Long-sequence SLAM trajectory regression (r3 verdict item 6).
+
+Drives the full SlamSystem — keyframing, descriptor loop-closure
+retrieval, bucketed PGO, windowed BA — over a 100-frame two-lap circular
+sequence with exact synthetic features (benchmarks/long_sequence_eval.py)
+and bounds the absolute trajectory error and the loop-closure yield.
+The 120-frame artifact run is recorded in
+benchmarks/artifacts/long_seq_r4/long_seq.json and BENCH_NOTES.md.
+"""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.mark.slow
+def test_long_sequence_ate_and_loops():
+    from benchmarks.long_sequence_eval import run
+
+    rec = run(n_frames=100)
+    assert rec["keyframes"] >= 20
+    # lap 2 revisits lap 1: loop closures must actually fire
+    assert rec["loop_edges"] >= 3, rec
+    # drift bound: ATE within 1% of trajectory length (r3 verdict item 6;
+    # the recorded 120-frame artifact measured 0.39%)
+    assert rec["ate_slam_pct"] <= 1.0, rec
+    assert np.isfinite(rec["ate_chain"])
+    # capacity-bucketed solvers: steady-state per-frame cost must not grow
+    # as the map does (r3 verdict weak #5; generous 2x bound over halves)
+    assert (rec["frame_ms_second_half"]
+            <= 2.0 * max(rec["frame_ms_first_half"], 1.0)), rec

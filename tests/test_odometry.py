@@ -53,6 +53,26 @@ def project_features(X, words, R, t, n_pad=128):
         count=jnp.int32(int(vis.sum())))
 
 
+def test_detection_overflow_propagates_to_vo(test_image):
+    """r3 verdict item 8: a capacity-lossy detection (Features.overflow)
+    must be visible in the product path — VisualOdometry records the flag
+    and the frame index, not just the CLI JSON."""
+    from akaze_tpu import AkazeConfig
+    from akaze_tpu.slam.odometry import VisualOdometry
+
+    img = np.asarray(test_image[:160, :208], np.float32)
+    vo = VisualOdometry(INTR, AkazeConfig(max_pts=4, noctaves=2))
+    vo.process(img)
+    assert vo.last_overflow is True
+    assert vo.overflow_frames == [0]
+
+    # a roomy capacity on the same frame does not overflow
+    vo2 = VisualOdometry(INTR, AkazeConfig(max_pts=2048, noctaves=2))
+    vo2.process(img)
+    assert vo2.last_overflow is False
+    assert vo2.overflow_frames == []
+
+
 class TestTwoView:
     def test_two_view_recovers_pose(self, rng):
         X, words = synth_features(rng)

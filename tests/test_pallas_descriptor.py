@@ -84,10 +84,11 @@ def test_pipeline_with_pallas_interpret(test_image):
 
 
 def test_pair_batched_pipeline_matches_two_calls(test_image):
-    """detect_and_compute_pair (one vmapped detect + ONE fused descriptor
-    launch over both images' concatenated, block-aligned slot segments)
-    must reproduce two independent detect_and_compute calls bit-for-bit
-    (r3: pair-batched headline push)."""
+    """detect_and_compute_pair (batched scale space + the unbatched detect
+    program per image + ONE fused descriptor launch over both images'
+    concatenated, block-aligned slot segments) must reproduce two
+    independent detect_and_compute calls bit-for-bit (r3: pair-batched
+    headline push)."""
     from akaze_tpu.pipeline import detect_and_compute_pair
 
     img_a = test_image[:160, :208]
