@@ -148,7 +148,7 @@ def _fast_atan2(y, x):
 def _make_kernel(kb: int, patsize: int, n_steps: int,
                  parts: str = "both", wy: int = WY, wx: int = WX,
                  zero_dead: bool = True, col_major: bool = False,
-                 fixed: bool = False):
+                 fixed: bool = False, nbuf: int = 2):
     """Batched-block kernel: the per-keypoint formulation issued ~45 small
     vector/matrix ops per keypoint and was op-issue bound (~3 us/kp).  Here
     only the window-dependent sampling matmuls stay per-keypoint; everything
@@ -222,23 +222,36 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
         def block_live(blk):
             return iparams_ref[8 * (blk * kb) + 6] > 0
 
-        @pl.when((step == 0) & block_live(0))
-        def _():
-            for j in range(kb):
-                for t in range(3):
-                    dma(0, 0, j, t).start()
+        nplanes_dma = 1 if parts == "dma1" else 3
+        # measurement mode desc2x: every window copied twice (identical
+        # data, double HBM traffic) — separates DMA-overlapped-with-compute
+        # from DMA-serialized-with-compute
+        dma_repeat = 2 if parts == "desc2x" else 1
 
-        @pl.when((step + 1 < n_steps) & block_live(
-            jnp.minimum(step + 1, n_steps - 1)))
-        def _():
-            for j in range(kb):
-                for t in range(3):
-                    dma((step + 1) % 2, step + 1, j, t).start()
+        # warm-up: fill nbuf-1 buffers at step 0; steady state issues the
+        # block nbuf-1 ahead (nbuf=2 is classic double buffering)
+        for d in range(nbuf - 1):
+            @pl.when((step == 0) & (d < n_steps)
+                     & block_live(jnp.minimum(d, n_steps - 1)))
+            def _(d=d):
+                for _r in range(dma_repeat):
+                    for j in range(kb):
+                        for t in range(nplanes_dma):
+                            dma(d % nbuf, d, j, t).start()
 
-        slot = step % 2
+        nxt = step + nbuf - 1
+        @pl.when((nxt < n_steps) & block_live(
+            jnp.minimum(nxt, n_steps - 1)))
+        def _():
+            for _r in range(dma_repeat):
+                for j in range(kb):
+                    for t in range(nplanes_dma):
+                        dma(nxt % nbuf, nxt, j, t).start()
+
+        slot = step % nbuf
 
         def compute_block(step, slot):
-            if parts == "dma":
+            if parts in ("dma", "dma1"):
                 # measurement mode: window streaming only (one elementwise
                 # touch so the DMA cannot be elided), no sampling compute
                 angle_ref[...] = jnp.broadcast_to(
@@ -267,7 +280,7 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
 
             # ---- orientation: 11x11 disc at per-kp stride ----
             # tap = a*11 + b; row offset j = a-5, col offset i = b-5
-            if parts == "desc":
+            if parts in ("desc", "desc2x"):
                 angle = jnp.zeros((kb, 1), jnp.float32)
             else:
                 tap = jax.lax.broadcasted_iota(jnp.int32, (OPAD, 1), 0)
@@ -280,7 +293,10 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                     ocol = ox_l[j] + isc_l[j] * (tb - 5)
                     orow = jnp.where(tap >= 121, -1, orow)
                     row_oh = one_hot_rows(orow, wy, sdt)
-                    # both derivative planes in one matmul
+                    # both derivative planes in one matmul (Mosaic
+                    # requires 32-bit MXU accumulators; the selected
+                    # values are bf16-exact, so the narrowing cast after
+                    # is value-preserving)
                     T = jax.lax.dot_general(
                         row_oh, wnd[slot, j, :, wx:3 * wx],
                         (((1,), (0,)), ((), ())),
@@ -290,7 +306,8 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                     cols2.append(jnp.concatenate([c, c], axis=1))
                 T_all = jnp.concatenate(Ts, axis=1)        # [OPAD, kb*2wx]
                 C_all = jnp.concatenate(cols2, axis=1)
-                P = (T_all * C_all).astype(jnp.float32)
+                # selection-exact in sdt: one nonzero per (tap, chunk)
+                P = T_all * C_all
                 # block-ones reduce: [OPAD, kb*2WX] @ [kb*2WX, 2kb]
                 gxy = jax.lax.dot_general(
                     P, g2_ref[:], (((1,), (0,)), ((), ())),
@@ -443,10 +460,9 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
                     c = one_hot_rows(xp[:, j:j + 1], wx, sdt)
                     c3 = jnp.concatenate([c, c, c], axis=1)
                     # the product has exactly ONE nonzero per (tap, chunk)
-                    # row — the selected sample — so the chunk reductions
-                    # are exact in the sampling dtype itself (bf16 on the
-                    # float path); keeping them narrow halves the VPU
-                    # bytes of the kernel's hottest elementwise stage
+                    # row — the selected sample — so the product and chunk
+                    # reductions are exact in the sampling dtype (bf16 on
+                    # the float path), halving their VPU bytes
                     Pj = T.astype(sdt) * c3
                     # reduce each WX chunk: [NPAD, 3WX] -> [NPAD, 3]
                     Sj = (jnp.sum(Pj[:, :wx], axis=1, keepdims=True),
@@ -537,9 +553,10 @@ def _make_kernel(kb: int, patsize: int, n_steps: int,
 
         @pl.when(block_live(step))
         def _():
-            for j in range(kb):
-                for t in range(3):
-                    dma(slot, step, j, t).wait()
+            for _r in range(dma_repeat):
+                for j in range(kb):
+                    for t in range(nplanes_dma):
+                        dma(slot, step, j, t).wait()
             compute_block(step, slot)
 
     return kernel
@@ -558,12 +575,12 @@ def _g2_matrix(kb: int, wx: int = WX):
 
 @partial(jax.jit, static_argnames=("patsize", "kb", "interpret", "parts",
                                    "wy", "wx", "zero_dead", "col_major",
-                                   "fixed"))
+                                   "fixed", "nbuf"))
 def orient_describe(iparams, fparams, planes, patsize: int = 10,
                     kb: int = 8, interpret: bool = False,
                     parts: str = "both", wy: int = WY, wx: int = WX,
                     zero_dead: bool = True, col_major: bool = False,
-                    fixed: bool = False):
+                    fixed: bool = False, nbuf: int = 2):
     """Run the fused kernel.
 
     Args:
@@ -593,7 +610,7 @@ def orient_describe(iparams, fparams, planes, patsize: int = 10,
             "fixed flavour samples f32 planes"
     n_steps = n // kb
     kernel = _make_kernel(kb, patsize, n_steps, parts, wy, wx, zero_dead,
-                          col_major, fixed)
+                          col_major, fixed, nbuf)
     iparams = iparams.reshape(-1)
     fparams = fparams.reshape(-1)
 
@@ -624,9 +641,9 @@ def orient_describe(iparams, fparams, planes, patsize: int = 10,
             pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, kb, wy, 3 * wx),
+            pltpu.VMEM((nbuf, kb, wy, 3 * wx),
                        jnp.float32 if fixed else jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, kb, 3)),
+            pltpu.SemaphoreType.DMA((nbuf, kb, 3)),
         ],
     )
     angle_b, acc = pl.pallas_call(
@@ -641,6 +658,10 @@ def orient_describe(iparams, fparams, planes, patsize: int = 10,
         interpret=interpret,
     )(iparams, fparams, planes[0], planes[1], planes[2], wtv, band,
       jnp.asarray(lof_np), jnp.asarray(kof_np), jnp.asarray(dlive_np),
-      jnp.asarray(M32_np), jnp.asarray(_g2_matrix(kb, wx)))
+      jnp.asarray(M32_np),
+      # the g2 block-ones reduce is selection-exact, so it rides the MXU
+      # in the sampling dtype on the float path
+      jnp.asarray(_g2_matrix(kb, wx),
+                  jnp.float32 if fixed else jnp.bfloat16))
     perm = jnp.asarray(_group_to_interleaved())
     return angle_b[:, 0], acc[:, perm][:, :87]
