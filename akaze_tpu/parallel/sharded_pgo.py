@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..slam.posegraph import (PoseGraph, _edge_residuals, _retract)
+from ..slam.posegraph import (PoseGraph, _edge_residuals,
+                              _huber_irls_weights, _masked_median, _retract)
 from .mesh import axis_size, normalize_axes
 
 
@@ -39,7 +40,9 @@ def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
 def sharded_optimize_pose_graph(R, t, graph: PoseGraph, mesh: Mesh,
                                 iters: int = 10, cg_iters: int = 50,
                                 damping: float = 1e-6,
-                                axis="data", fixed_mask=None):
+                                axis="data", fixed_mask=None,
+                                robust: str = "none",
+                                robust_delta: float = 2.0):
     """Gauss-Newton PGO with the edge list sharded over ``mesh[axis]``.
 
     Args mirror ``slam.optimize_pose_graph``; ``graph`` must be padded to a
@@ -54,15 +57,16 @@ def sharded_optimize_pose_graph(R, t, graph: PoseGraph, mesh: Mesh,
         fixed_mask = jnp.zeros(R.shape[0], bool).at[0].set(True)
     return _run_sharded_pgo(R, t, graph, fixed_mask, mesh=mesh,
                             iters=iters, cg_iters=cg_iters,
-                            damping=damping, axis=axis)
+                            damping=damping, axis=axis, robust=robust,
+                            robust_delta=robust_delta)
 
 
 # module-level jit: repeated solves at the same (bucketed) shapes reuse one
 # compiled program — a per-call jax.jit(closure) recompiled every optimize()
 @partial(jax.jit, static_argnames=("mesh", "iters", "cg_iters", "damping",
-                                   "axis"))
+                                   "axis", "robust", "robust_delta"))
 def _run_sharded_pgo(R, t, graph, fixed_mask, *, mesh, iters, cg_iters,
-                     damping, axis):
+                     damping, axis, robust="none", robust_delta=2.0):
     n = R.shape[0]
 
     def cost_local(R, t, g):
@@ -79,10 +83,27 @@ def _run_sharded_pgo(R, t, graph, fixed_mask, *, mesh, iters, cg_iters,
 
         def gn_step(state, _):
             R, t = state
+            if robust in ("huber", "cauchy"):
+                # the robust threshold needs the GLOBAL residual-norm
+                # median; edge norms are tiny ([E] floats), so gather them
+                r_loc = _edge_residuals(R, t, g)
+                n_loc = jnp.sqrt(jnp.sum(r_loc * r_loc, axis=-1))
+                n_all = jax.lax.all_gather(n_loc, axis).reshape(-1)
+                a_all = jax.lax.all_gather(g.weight > 0, axis).reshape(-1)
+                delta = jnp.maximum(
+                    robust_delta * _masked_median(n_all, a_all), 1e-12)
+                if robust == "cauchy":
+                    q = n_loc / delta
+                    h = jnp.sqrt(1.0 / (1.0 + q * q))
+                else:
+                    h = jnp.sqrt(jnp.minimum(
+                        1.0, delta / jnp.maximum(n_loc, 1e-12)))
+            else:
+                h = jnp.ones_like(g.weight)
 
             def r_of_xi(xi):
                 R2, t2 = _retract(R, t, xi * free)
-                return _edge_residuals(R2, t2, g)
+                return _edge_residuals(R2, t2, g) * h[:, None]
 
             xi0 = jnp.zeros((n, 6), R.dtype)
             r0, jvp = jax.linearize(r_of_xi, xi0)
@@ -99,8 +120,13 @@ def _run_sharded_pgo(R, t, graph, fixed_mask, *, mesh, iters, cg_iters,
                                                maxiter=cg_iters)
             dx = dx * free
             R2, t2 = _retract(R, t, dx)
-            c_old = cost_local(R, t, g)
-            c_new = cost_local(R2, t2, g)
+
+            def cost_h(R, t):
+                r = _edge_residuals(R, t, g) * h[:, None]
+                return jax.lax.psum(0.5 * jnp.sum(r * r), axis)
+
+            c_old = cost_h(R, t)
+            c_new = cost_h(R2, t2)
             better = c_new < c_old
             return (jnp.where(better, R2, R),
                     jnp.where(better, t2, t)), c_new

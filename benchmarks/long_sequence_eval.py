@@ -111,7 +111,9 @@ class _FeatureFrontend:
 
 def run(n_frames: int = 120, noise: float = 0.3, seed: int = 3,
         mesh=None, out_dir=None, local_ba_every: int = 6, laps: int = 2,
-        n_world_pts: int = 1500, n_pad: int = 512):
+        n_world_pts: int = 1500, n_pad: int = 512, slam_overrides=None):
+    import dataclasses
+
     from akaze_tpu.io import ate_rmse, save_kitti_poses
     from akaze_tpu.slam import SlamSystem, SlamConfig
     from akaze_tpu.slam.odometry import Intrinsics
@@ -133,12 +135,15 @@ def run(n_frames: int = 120, noise: float = 0.3, seed: int = 3,
                              rng))
 
     intr = Intrinsics(FX, FY, CX, CY)
+    slam_cfg = SlamConfig(
+        optimize_every=4, min_loop_gap=10, loop_candidates=3,
+        loop_min_matches=40, loop_min_inliers=25,
+        local_ba_every=local_ba_every, local_ba_window=4,
+        local_ba_points=256)
+    if slam_overrides:
+        slam_cfg = dataclasses.replace(slam_cfg, **slam_overrides)
     slam = SlamSystem(
-        intr, slam_config=SlamConfig(
-            optimize_every=4, min_loop_gap=10, loop_candidates=3,
-            loop_min_matches=40, loop_min_inliers=25,
-            local_ba_every=local_ba_every, local_ba_window=4,
-            local_ba_points=256),
+        intr, slam_config=slam_cfg,
         mesh=mesh, min_inliers=20, keyframe_inlier_ratio=0.7)
     slam.vo.akaze = _FeatureFrontend(feats)
 

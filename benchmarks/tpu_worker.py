@@ -12,6 +12,12 @@ holds the device open and polls a queue directory:
     # done flag: exists /tmp/tpuq/001.done
     # shutdown:  touch  /tmp/tpuq/STOP
 
+Submission MUST be atomic: write the snippet to a non-``.py`` temp path in
+the same directory (e.g. ``001.py.tmp``) and ``os.rename`` it to ``001.py``.
+The poll loop picks a job up the instant its name matches ``*.py`` and
+marks it seen forever, so a partially flushed direct write would exec
+truncated source with no retry.
+
 Jobs share one namespace across the session (``ns``), so compiled
 functions, loaded images, and imports persist between probes.
 """

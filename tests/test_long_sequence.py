@@ -26,9 +26,15 @@ def test_long_sequence_ate_and_loops():
     # lap 2 revisits lap 1: loop closures must actually fire
     assert rec["loop_edges"] >= 3, rec
     # drift bound: ATE within 1% of trajectory length (r3 verdict item 6;
-    # the recorded 120-frame artifact measured 0.39%)
+    # the recorded 120-frame artifact measured 0.28% in r5)
     assert rec["ate_slam_pct"] <= 1.0, rec
+    # the back-end must IMPROVE on raw dead-reckoning — loop closure + PGO
+    # + BA that degrade the trajectory are a regression even when the
+    # absolute bound above still passes (r4 verdict: ate_slam 0.95 >
+    # ate_chain 0.89 shipped unnoticed; fixed by confidence-weighted loop
+    # edges + self-tuning Huber IRLS)
     assert np.isfinite(rec["ate_chain"])
+    assert rec["ate_slam"] <= rec["ate_chain"], rec
     # capacity-bucketed solvers: steady-state per-frame cost must not grow
     # as the map does (r3 verdict weak #5; generous 2x bound over halves)
     assert (rec["frame_ms_second_half"]

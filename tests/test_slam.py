@@ -96,6 +96,65 @@ class TestPoseGraph:
             jnp.asarray(R_true), jnp.asarray(t_true), graph, iters=5)
         assert float(c) < 1e-10  # already optimal; poisoned edge ignored
 
+    def test_robust_rejects_outlier_edge(self, rng):
+        """A grossly wrong full-weight loop edge must not bend the robust
+        solution: with the redescending robust='cauchy' loss the recovered
+        trajectory stays near ground truth; plain least squares is pulled
+        far away (the r4 failure mode where noisy loop edges dominated).
+        Huber with a per-iteration self-tuned threshold measurably does NOT
+        survive this (the absorb-a-little / raise-the-median spiral ends at
+        the least-squares answer) — that instability is why cauchy exists
+        here; see _huber_irls_weights."""
+        n = 10
+        R_true, t_true = make_trajectory(rng, n)
+        edges_i = list(range(n - 1)) + [0]
+        edges_j = list(range(1, n)) + [n - 1]
+        R_ij, t_ij = [], []
+        for i, j in zip(edges_i, edges_j):
+            Rr, tr = relative(R_true[i], t_true[i], R_true[j], t_true[j])
+            R_ij.append(np.asarray(Rr))
+            t_ij.append(np.asarray(tr))
+        t_ij[-1] = t_ij[-1] + 5.0          # poisoned loop, FULL weight
+        graph = PoseGraph(
+            i=jnp.asarray(edges_i, jnp.int32),
+            j=jnp.asarray(edges_j, jnp.int32),
+            R_ij=jnp.asarray(np.stack(R_ij)),
+            t_ij=jnp.asarray(np.stack(t_ij)),
+            weight=jnp.ones(len(edges_i), jnp.float32))
+        noise = rng.standard_normal((n, 6)).astype(np.float32) * 0.02
+        noise[0] = 0
+        dR, dt = se3_exp(jnp.asarray(noise))
+        R0, t0 = se3_compose(jnp.asarray(R_true), jnp.asarray(t_true),
+                             dR, dt)
+
+        def traj_err(R, t):
+            e = 0.0
+            for k in range(n):
+                Rr, tr = relative(R[0], t[0], R[k], t[k])
+                Rg, tg = relative(R_true[0], t_true[0], R_true[k],
+                                  t_true[k])
+                e = max(e, float(np.linalg.norm(
+                    np.asarray(tr) - np.asarray(tg))))
+            return e
+
+        R_h, t_h, _ = optimize_pose_graph(R0, t0, graph, iters=15,
+                                          robust="cauchy")
+        # ... and at the SHIPPED SlamConfig threshold (the widest measured
+        # to stay stable; 12 tips into the spiral)
+        from akaze_tpu.slam.system import SlamConfig
+        R_s, t_s, _ = optimize_pose_graph(
+            R0, t0, graph, iters=15, robust="cauchy",
+            robust_delta=SlamConfig().robust_delta)
+        R_l, t_l, _ = optimize_pose_graph(R0, t0, graph, iters=15)
+        err_h = traj_err(R_h, t_h)
+        err_s = traj_err(R_s, t_s)
+        err_l = traj_err(R_l, t_l)
+        # least squares spreads the 5-unit poison over the chain; the
+        # redescending loss zeroes its influence
+        assert err_h < 0.1, (err_h, err_l)
+        assert err_s < 0.1, (err_s, err_l)
+        assert err_l > 3 * err_h, (err_h, err_l)
+
 
 class TestLoopEdgeMeasurement:
     def test_consistent_rotated_poses_zero_residual(self, rng):
