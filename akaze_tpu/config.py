@@ -78,6 +78,14 @@ class AkazeConfig:
     # benchmarks/fixed_descriptor_bound.py).  Exactness costs sampling
     # matmul throughput (f32 vs bf16 on the MXU).
     fixed_exact_sampling: bool = False
+    # Pallas descriptor window delivery:
+    #   True   shared row-band windows — keypoints are band-sorted in-graph
+    #          and whole [384, W] plane bands stream through VMEM once,
+    #          each keypoint's [128, 256] window sliced out locally with
+    #          dynamically-offset MXU reads (~8x less HBM window traffic
+    #          at stock density; bit-identical outputs)
+    #   False  one private window DMA per keypoint (the r1-r4 kernel)
+    banded_windows: bool = True
 
     # smax scale multiplier for the extrema border; 10*sqrt(2) for the MLDB
     # descriptor family (FEATURE_TYPE 5; reference: akaze.cpp:277-285).

@@ -34,8 +34,12 @@ from .plan import PipelinePlan
 
 H_PI = math.pi / 2.0
 
-# keypoints per Pallas descriptor kernel block (A/B-tunable)
-KB = 24
+# keypoints per Pallas descriptor kernel block (A/B-tunable).  Must be a
+# multiple of 8 (output sublane tiling); 40 also divides the standard
+# capacities (10000/4000/2000), so the banded prep's pad-to-block-multiple
+# branch (6 ops x ~35 us of flat per-op cost) never fires.  Kernel-side kb
+# sweep r5: 16 -> 8.25, 24 -> 8.05, 32 -> 8.18, 40 -> 7.92 ms.
+KB = 40
 
 # Window big enough for the worst-case sampling radius:
 # descriptor |offset| <= scale * 10 * sqrt(2) + 1.5 <= 58.1 for scale 4
@@ -386,6 +390,35 @@ _SCALE_BANDS_3 = (
 )
 
 
+def _band_kp_cols(kps: Keypoints, pp: PaddedPyramid, plan: PipelinePlan,
+                  ly: int, lx: int, plane_base: int = 0,
+                  nplanes: int = None, row_off=None):
+    """Column form of ``_band_kp_params``: returns the per-keypoint fields
+    as separate 1D arrays (p, y0, x0, oy, ox, iscale, yc, xc) — the banded
+    path consumes columns directly (stacking them into an [N, k] table is
+    a measured cross-lane relayout)."""
+    ms = plan.config.max_scale
+    if nplanes is None:
+        nplanes = pp.L.shape[0]
+    p = jnp.clip(kps.layer, 0, nplanes - 1) + plane_base
+    o = jnp.maximum(kps.layer // ms, 0)
+    off = (jnp.zeros_like(o) if row_off is None
+           else row_off[o].astype(jnp.int32))
+    iratio = 1.0 / (1 << o).astype(jnp.float32)
+    xc = (kps.x * iratio + 0.5).astype(jnp.int32)
+    yc = (kps.y * iratio + 0.5).astype(jnp.int32) + off
+    wo = pp.widths[p]
+    ho = pp.heights[p]
+    xi = (kps.x + 0.5).astype(jnp.int32) >> o
+    yi = ((kps.y + 0.5).astype(jnp.int32) >> o) + off
+    iscale = (kps.size + 0.5).astype(jnp.int32)
+    x0 = jnp.clip(xc - lx // 2, 0, jnp.maximum(wo - lx, 0))
+    y0 = jnp.clip(yc - ly // 2, 0, jnp.maximum(ho - ly, 0))
+    return (p, y0, x0, yi - y0, xi - x0, iscale,
+            kps.y * iratio - (y0 - off).astype(jnp.float32),
+            kps.x * iratio - x0.astype(jnp.float32))
+
+
 def _band_kp_params(kps: Keypoints, pp: PaddedPyramid, plan: PipelinePlan,
                     ly: int, lx: int, plane_base: int = 0,
                     nplanes: int = None, row_off=None):
@@ -404,31 +437,230 @@ def _band_kp_params(kps: Keypoints, pp: PaddedPyramid, plan: PipelinePlan,
     stays within the window of ``kps.y * iratio`` so the subtraction is
     exact — shifting the float ``kps.y`` itself could drop mantissa bits
     and flip the +-0.5 roundings."""
-    ms = plan.config.max_scale
-    if nplanes is None:
-        nplanes = pp.L.shape[0]
-    p = jnp.clip(kps.layer, 0, nplanes - 1) + plane_base
-    o = jnp.maximum(kps.layer // ms, 0)
-    off = (jnp.zeros_like(o) if row_off is None
-           else row_off[o].astype(jnp.int32))
-    iratio = 1.0 / (1 << o).astype(jnp.float32)
-    xc = (kps.x * iratio + 0.5).astype(jnp.int32)
-    yc = (kps.y * iratio + 0.5).astype(jnp.int32) + off
-    wo = pp.widths[p]
-    ho = pp.heights[p]
-    xi = (kps.x + 0.5).astype(jnp.int32) >> o
-    yi = ((kps.y + 0.5).astype(jnp.int32) >> o) + off
-    iscale = (kps.size + 0.5).astype(jnp.int32)
+    p, y0, x0, oy, ox, iscale, ycf, xcf = _band_kp_cols(
+        kps, pp, plan, ly, lx, plane_base, nplanes, row_off)
     zero_i = jnp.zeros_like(p)
-    zero_f = jnp.zeros_like(kps.x)
-    x0 = jnp.clip(xc - lx // 2, 0, jnp.maximum(wo - lx, 0))
-    y0 = jnp.clip(yc - ly // 2, 0, jnp.maximum(ho - ly, 0))
-    ip = jnp.stack([p, y0, x0, yi - y0, xi - x0, iscale, zero_i,
-                    zero_i], axis=1)
-    fp = jnp.stack([kps.y * iratio - (y0 - off).astype(jnp.float32),
-                    kps.x * iratio - x0.astype(jnp.float32),
-                    iscale.astype(jnp.float32), zero_f], axis=1)
+    ip = jnp.stack([p, y0, x0, oy, ox, iscale, zero_i, zero_i], axis=1)
+    fp = jnp.stack([ycf, xcf, iscale.astype(jnp.float32),
+                    jnp.zeros_like(ycf)], axis=1)
     return ip, fp
+
+
+def _banded_prep(kps_list, pp: PaddedPyramid, plan: PipelinePlan,
+                 kb: int, hp2: int, wpl: int, nplanes: int = None,
+                 row_off=None, plane_base0: int = 0):
+    """In-graph block/band assignment for the banded-window kernel.
+
+    Sorts the keypoint slots by (plane, aligned window row), chunks them
+    into kb-blocks, and classifies each block: banded (all windows fit one
+    [BH, wpl] row band of one plane — band origin on the 128-row grid so
+    consecutive blocks share it) or parked (plane transitions / sparse
+    row spans: per-keypoint window DMAs into the band buffer's parking
+    grid).  Measured on the stock pair this puts ~98% of blocks on shared
+    bands (~70 bands + ~30 parked blocks, ~210 MB/pair vs 1.58 GB of
+    private windows).  All outputs are per-SORTED-slot; ``rank`` maps an
+    original slot to its sorted position for ungathering the kernel
+    outputs.  Sampling positions are absolute, so the reorder cannot
+    change any sampled value.
+
+    Takes the whole image LIST at once: one multi-payload sort covers
+    every image's segment (per-op cost is flat, so two sorts cost twice
+    one), with per-image invalid-slot sentinel keys chosen to keep each
+    segment contiguous under the global sort (invalids sort to the end of
+    THEIR image's key range, below the next image's first plane key).
+    Requires each segment length to be a multiple of kb so blocks never
+    straddle images (the launcher falls back to capacity padding
+    otherwise).
+
+    Returns ((w1, w2) int32, (yc, xc) f32, (bw,) int32 with the slot bit
+    left 0 — the launcher assigns slots globally, rank [n_total] int32
+    mapping original global slots to sorted positions).
+    """
+    from .ops.pallas_describe import BH
+
+    # OP-COUNT discipline (measured, v5e device trace): on this hardware
+    # every unfused HLO op costs ~30-40 us REGARDLESS of size at these
+    # shapes, so the prep is written for minimum op count, not minimum
+    # FLOPs: one multi-payload sort carries every per-keypoint field, the
+    # block statistics are two gathers of ONE packed word (within a block
+    # of one plane, sorted y0a is non-decreasing, so min/max are the
+    # first/last elements), the per-keypoint block broadcast is one gather
+    # of another packed word, and everything else is elementwise (fuses).
+    # The first stacked-table implementation of this prep added 41 fusions
+    # = +1.7 ms to the pair program; this form adds ~9.  Reshapes to
+    # [S, kb] / jnp.repeat are also out: they are cross-lane relayouts.
+    import numpy as _np
+
+    if nplanes is None:
+        nplanes = pp.L.shape[0] // len(kps_list)
+    cols = [_band_kp_cols(kps, pp, plan, 120, 128,
+                          plane_base=plane_base0 + i * nplanes,
+                          nplanes=nplanes, row_off=row_off)
+            for i, kps in enumerate(kps_list)]
+    if len(cols) == 1:
+        p, y0, x0, oy, ox, iscale, ycf, xcf = cols[0]
+        valid = kps_list[0].valid
+    else:
+        p, y0, x0, oy, ox, iscale, ycf, xcf = (
+            jnp.concatenate(c) for c in zip(*cols))
+        valid = jnp.concatenate([k.valid for k in kps_list])
+        assert all(k.x.shape[0] % kb == 0 for k in kps_list), \
+            "batched prep needs kb-aligned segments"
+    n = p.shape[0]
+    # per-image invalid-slot sentinel: the largest key below the next
+    # image's plane range, so each image's invalid slots sort to the end
+    # of ITS OWN segment (a global sentinel would interleave segments)
+    inv_key = jnp.asarray(_np.concatenate(
+        [_np.full(k.x.shape[0],
+                  (plane_base0 + (i + 1) * nplanes) * 256 - 1, _np.int32)
+         for i, k in enumerate(kps_list)]))
+    sy, sx = y0 % 8, x0 % 128
+    y0a, x0a = y0 - sy, x0 - sx
+
+    key = jnp.where(valid, p * 256 + y0a // 8, inv_key)
+    # cls packs (plane, y0a) for block stats; invalid slots poison it so
+    # any block containing one classifies as parked (its valid members
+    # then DMA their own windows; a band fit judged on garbage stats
+    # could read outside the band for a REAL keypoint)
+    cls = jnp.where(valid, p * (1 << 20) + y0a, jnp.int32(1 << 30))
+    w1p = jnp.where(valid,
+                    p + (y0a // 8) * 64 + (x0a // 128) * (1 << 16), 0)
+    w2 = (oy + sy + 256) + (ox + sx + 256) * 1024 + iscale * (1 << 20)
+    yc = ycf + sy.astype(jnp.float32)
+    xc = xcf + sx.astype(jnp.float32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    (key_s, cls_s, w1p_s, y0a_s, x0a_s, w2_s, yc_s, xc_s,
+     perm) = jax.lax.sort(
+        [key, cls, w1p, y0a, x0a, w2, yc, xc, iota], num_keys=1)
+    rank = jnp.zeros(n, jnp.int32).at[perm].set(iota)  # inverse of perm
+
+    rem = (-n) % kb
+    if rem:
+        def padi(v, fill=0):
+            return jnp.pad(v, (0, rem), constant_values=fill)
+
+        cls_s = padi(cls_s, 1 << 30)
+        w1p_s, y0a_s, x0a_s, w2_s = map(padi, (w1p_s, y0a_s, x0a_s, w2_s))
+        yc_s = padi(yc_s, 0.0)
+        xc_s = padi(xc_s, 0.0)
+    npad = n + rem
+    S = npad // kb
+
+    first = jnp.arange(S, dtype=jnp.int32) * kb
+    cfirst = cls_s[first]
+    clast = cls_s[first + kb - 1]
+    live = cfirst < (1 << 30)
+    p0 = cfirst >> 20
+    bandy = jnp.clip(((cfirst % (1 << 20)) // 128) * 128, 0, hp2 - BH)
+    banded = ((p0 == (clast >> 20))
+              & (clast % (1 << 20) <= bandy + BH - 128) & live)
+
+    def prev(v, fill):
+        return jnp.concatenate([jnp.full((1,), fill, v.dtype), v[:-1]])
+
+    same_prev = (banded & prev(banded, False) & (bandy == prev(bandy, -1))
+                 & (p0 == prev(p0, -1)))
+    btype = jnp.where(~live, 0,
+                      jnp.where(same_prev, 0, jnp.where(banded, 1, 2)))
+    bw = (btype + live.astype(jnp.int32) * 4
+          + jnp.clip(p0, 0, 63) * 16 + (bandy // 8) * 1024)
+
+    # per-keypoint side: ONE gather of a packed (banded, bandy) word
+    blkw = bandy + banded.astype(jnp.int32) * (1 << 20)
+    g = blkw[jnp.arange(npad, dtype=jnp.int32) // kb]
+    use_band = (g >= (1 << 20)) & (cls_s < (1 << 30))
+    w1 = jnp.where(use_band,
+                   (y0a_s - g % (1 << 20)) // 8 + (x0a_s // 128) * 64,
+                   w1p_s)
+    return (w1, w2_s), (yc_s, xc_s), (bw,), rank
+
+
+def _banded_pyramid(pp: PaddedPyramid, slack=(0, 0), dtype=jnp.bfloat16):
+    """Plane stacks padded for the banded kernel: >= BH rows (whole-band
+    DMAs near the bottom clamp to hp2 - BH) and a 128-multiple width (the
+    band DMA covers all wpl lanes and planes sit wpl lanes apart in the
+    band buffer).  Zero-copy at the stock shape (968 x 1408)."""
+    from .ops.pallas_describe import BH
+
+    planes = (pp.L, pp.lx, pp.ly)
+    hp, wp = planes[0].shape[1], planes[0].shape[2]
+    hp2 = max(hp + max(8 - slack[0], 0), BH)
+    hp2 += (-hp2) % 8
+    wp2 = max(wp + max(128 - slack[1], 0), 256)
+    wp2 += (-wp2) % 128
+    pad = ((0, 0), (0, hp2 - hp), (0, wp2 - wp))
+
+    def prep(x):
+        x = x.astype(dtype)
+        if hp2 != hp or wp2 != wp:
+            x = jnp.pad(x, pad)
+        return x
+
+    return tuple(prep(x) for x in planes), hp2, wp2
+
+
+def orient_describe_pallas_banded_multi(kps_list, pp: PaddedPyramid,
+                                        plan: PipelinePlan,
+                                        interpret: bool = False,
+                                        slack=(0, 0), fixed: bool = False,
+                                        row_off=None):
+    """ONE banded-window fused-kernel launch over several images' keypoint
+    sets (the round-5 window-delivery architecture; see
+    ops/pallas_describe._make_banded_kernel).  Output values are
+    bit-identical to ``orient_describe_pallas_multi``; only the window
+    DMA traffic differs."""
+    from .ops.pallas_describe import orient_describe_banded
+
+    cfg = plan.config
+    nimg = len(kps_list)
+    nplanes = pp.L.shape[0] // nimg
+    planes, hp2, wpl = _banded_pyramid(
+        pp, slack, dtype=jnp.float32 if fixed else jnp.bfloat16)
+    segs = [k.x.shape[0] for k in kps_list]
+    if all(s % KB == 0 for s in segs):
+        # one batched prep for ALL images (one sort, one scatter — per-op
+        # cost is flat, so per-image preps cost nimg times as much)
+        ikp_all, fkp_all, (bw,), rank = _banded_prep(
+            kps_list, pp, plan, KB, hp2, wpl, nplanes=nplanes,
+            row_off=row_off)
+        ranks = [rank[sum(segs[:i]):sum(segs[:i + 1])]
+                 for i in range(nimg)]
+        seg_out = [0] * nimg       # rank is GLOBAL: no per-segment offset
+    else:
+        # capacity not block-aligned: per-image preps (pads internally)
+        ips, fps, bps, ranks = [], [], [], []
+        for i, kps in enumerate(kps_list):
+            ikp, fkp, blkp, rank = _banded_prep(
+                [kps], pp, plan, KB, hp2, wpl, nplanes=nplanes,
+                row_off=row_off, plane_base0=i * nplanes)
+            ips.append(ikp)
+            fps.append(fkp)
+            bps.append(blkp)
+            ranks.append(rank)
+        cat = (lambda cols: tuple(jnp.concatenate(c) for c in zip(*cols)))
+        ikp_all = cat(ips)
+        fkp_all = cat(fps)
+        (bw,) = cat(bps)
+        seg_out = []
+        off = 0
+        for ik in ips:
+            seg_out.append(off)
+            off += ik[0].shape[0]
+    # band-slot assignment is GLOBAL (the double buffer flips on every DMA
+    # event, including across image-segment boundaries); slot lives at
+    # bit 3 of the packed block word
+    slot = jnp.clip(jnp.cumsum((bw % 4 > 0).astype(jnp.int32)) - 1, 0) % 2
+    bw = bw + slot * 8
+    angle, acc = orient_describe_banded(
+        ikp_all, fkp_all, (bw,), planes,
+        patsize=cfg.descriptor_pattern_size, kb=KB, wpl=wpl,
+        interpret=interpret, fixed=fixed)
+    angle_all, desc_all = _finish_descriptors(angle, acc)
+    out = []
+    for i in range(nimg):
+        r = ranks[i] + seg_out[i]
+        out.append((angle_all[r], Descriptors(words=desc_all.words[r])))
+    return out
 
 
 def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
@@ -450,6 +682,9 @@ def orient_describe_pallas_multi(kps_list, pp: PaddedPyramid,
     from .ops.pallas_describe import orient_describe
 
     cfg = plan.config
+    if cfg.banded_windows:
+        return orient_describe_pallas_banded_multi(
+            kps_list, pp, plan, interpret, slack, fixed, row_off)
     assert len(_SCALE_BANDS) == 1, "pair batching supports the single-band layout"
     _, wy, wx, ly, lx = _SCALE_BANDS[0]
     nimg = len(kps_list)

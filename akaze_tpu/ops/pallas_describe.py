@@ -665,3 +665,466 @@ def orient_describe(iparams, fparams, planes, patsize: int = 10,
                   jnp.float32 if fixed else jnp.bfloat16))
     perm = jnp.asarray(_group_to_interleaved())
     return angle_b[:, 0], acc[:, perm][:, :87]
+
+
+# --------------------------------------------------------------------------
+# Banded-window kernel: shared row-band delivery (round-5 architecture)
+# --------------------------------------------------------------------------
+#
+# The r1-r4 kernel streams one private [128, 256]x3 bf16 window per keypoint
+# — 1.58 GB/stock-pair, measured 2.25 ms at ~80% of HBM peak and only
+# half-overlapped with compute (BENCH_NOTES r4 roofline).  Keypoints cluster
+# in rows, so here blocks of kb band-sorted keypoints share ONE [BH, W]
+# plane band resident in VMEM and every keypoint's window is sliced out of
+# it *in place*: the sampling matmuls read the band at dynamically-offset
+# (tile-aligned, `pl.multiple_of`-proved) row/lane positions, so no window
+# copy exists at all.  Measured band traffic at stock density: ~210 MB/pair
+# (~8x less).  Sampling positions are absolute, so outputs are bit-identical
+# to the per-keypoint kernel.
+#
+# Block types (host-side in-graph classification, descriptor.py):
+#   0  banded, band already resident (no DMA)
+#   1  banded, new band: 3 copies of planes[p, bandy:bandy+BH, :W]
+#   2  parked: the block spans planes or >BH-128 rows of window origins
+#      (plane transitions in the sorted order, sparse tails) — each keypoint
+#      gets its private [128, 256]x3 window DMA'd into a parking grid in
+#      the same band buffer (rows 128*(j%3), lanes 768*(j//3)), so COMPUTE
+#      is uniform: every keypoint reads band[slot, row8*8 :+128,
+#      lane*128 :+256] wherever its window lives.
+# Band slots double-buffer: the slot flips on every DMA event (btype>0),
+# and block s+1's DMAs are issued before block s's compute so band
+# streaming overlaps compute.
+
+BH = 384          # band rows (grid stride 128: origin rounddown(y0, 128)
+#                   covers window-origin spans of up to BH-128 rows; also
+#                   exactly 3 parking rows of 128)
+
+
+def _banded_lanes(kb: int, wpl: int) -> int:
+    """Scratch lane count: the 3-plane band region or the parking grid,
+    whichever is wider."""
+    ncols = -(-kb // (BH // 128))
+    return max(3 * wpl, 768 * ncols)
+
+
+def _make_banded_kernel(kb: int, patsize: int, n_steps: int, wpl: int,
+                        parts: str = "both", fixed: bool = False,
+                        nbuf: int = 2):
+    sdt = jnp.float32 if fixed else jnp.bfloat16
+    lanes_total = _banded_lanes(kb, wpl)
+
+    def one_hot_rows(idx_col, width, dtype):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0],
+                                                     width), 1)
+        return (idx_col == lanes).astype(dtype)
+
+    wl = wpl // 128
+
+    # Prefetch arrives as FIVE separate, bit-packed 1D arrays rather than
+    # interleaved [N, k] tables: the column interleave is a cross-lane
+    # relayout that measured ~1.9 ms at pair scale, and live-produced
+    # prefetch operands serialize against the kernel launch roughly in
+    # proportion to their count and bytes (V1/V2 provenance bisect,
+    # BENCH_NOTES r5) — so the scalar side is squeezed to ~100 KB:
+    #   w1 [N]: window address union, discriminated by the BLOCK type —
+    #     banded: row8 | l0<<6  (units of 8 rows / 128 lanes inside the
+    #       band buffer; plane t sits +t*wpl/128 lanes over)
+    #     parked: plane | srcy8<<6 | srcx128<<16  (the private window DMA
+    #       source; the parking position derives from the slot index j)
+    #   w2 [N]: (oy+256) | (ox+256)<<10 | iscale<<20 — orientation center
+    #     (window-local against the ALIGNED origin) and sigma step
+    #   yc, xc [N] f32: sub-pixel center, window-local, aligned origin
+    #   bw [S]: btype | live<<2 | slot<<3 | plane<<4 | bandy8<<10
+    def kernel(w1_ref, w2_ref, yc_ref, xc_ref, bw_ref,
+               pl_ref, px_ref, py_ref,  # [P, Hp, Wp] plane stacks (HBM)
+               wtv_ref, band_mat_ref, lof_ref, kof_ref, dlive_ref,
+               m32_ref, g2_ref,
+               angle_ref, acc_ref,    # out [kb, 128] f32 blocks
+               band,                  # scratch [nbuf, BH, lanes_total] sdt
+               sems):                 # DMA sems [nbuf, kb, 3]
+        step = pl.program_id(0)
+        wtv = wtv_ref[:]
+        band_mat = band_mat_ref[:]
+        lof = lof_ref[:]
+        kof = kof_ref[:]
+        dlive = dlive_ref[:]
+        M32 = m32_ref[:]
+        plane_refs = (pl_ref, px_ref, py_ref)
+
+        def band_dma(s, t):
+            bw = bw_ref[s]
+            p = (bw >> 4) % 64
+            by = pl.multiple_of((bw >> 10) * 8, 8)
+            slot = (bw >> 3) % 2
+            return pltpu.make_async_copy(
+                plane_refs[t].at[p, pl.ds(by, BH), pl.ds(0, wpl)],
+                band.at[slot, :, pl.ds(t * wpl, wpl)],
+                sems.at[slot, 0, t])
+
+        def park_dma(s, j, t):
+            w1 = w1_ref[s * kb + j]
+            p = w1 % 64
+            sy = pl.multiple_of(((w1 >> 6) % 1024) * 8, 8)
+            sx = pl.multiple_of((w1 >> 16) * 128, 128)
+            slot = (bw_ref[s] >> 3) % 2
+            r0 = 128 * (j % (BH // 128))
+            c0 = 768 * (j // (BH // 128)) + 256 * t
+            return pltpu.make_async_copy(
+                plane_refs[t].at[p, pl.ds(sy, 128), pl.ds(sx, 256)],
+                band.at[slot, r0:r0 + 128, c0:c0 + 256],
+                sems.at[slot, j, t])
+
+        def live(s):
+            return (bw_ref[s] >> 2) % 2 > 0
+
+        def btype(s):
+            return bw_ref[s] % 4
+
+        def issue(s):
+            @pl.when(btype(s) == 1)
+            def _():
+                for t in range(3):
+                    band_dma(s, t).start()
+
+            @pl.when(btype(s) == 2)
+            def _():
+                for j in range(kb):
+                    for t in range(3):
+                        park_dma(s, j, t).start()
+
+        # warmup: own block's DMAs at step 0; steady state issues one ahead
+        @pl.when((step == 0) & live(0))
+        def _():
+            issue(0)
+
+        nxt = jnp.minimum(step + 1, n_steps - 1)
+
+        @pl.when((step + 1 < n_steps) & live(nxt))
+        def _():
+            issue(nxt)
+
+        def wait(s):
+            @pl.when(btype(s) == 1)
+            def _():
+                for t in range(3):
+                    band_dma(s, t).wait()
+
+            @pl.when(btype(s) == 2)
+            def _():
+                for j in range(kb):
+                    for t in range(3):
+                        park_dma(s, j, t).wait()
+
+        def compute_block(s):
+            bw = bw_ref[s]
+            slot = (bw >> 3) % 2
+            is_band = (bw % 4 != 2).astype(jnp.int32)
+
+            def window(j, t):
+                w1 = w1_ref[s * kb + j]
+                row8 = (is_band * (w1 % 64)
+                        + (1 - is_band) * (16 * (j % (BH // 128))))
+                lane = (is_band * (((w1 >> 6) % 64) + t * wl)
+                        + (1 - is_band) * (6 * (j // (BH // 128)) + 2 * t))
+                dy = pl.multiple_of(row8 * 8, 8)
+                dx = pl.multiple_of(lane * 128, 128)
+                return band[slot, pl.ds(dy, 128), pl.ds(dx, 256)]
+
+            if parts == "dma":
+                # measurement mode: band/parking traffic only, one touch
+                angle_ref[...] = jnp.broadcast_to(
+                    jnp.sum(band[slot, :8, :128].astype(jnp.float32)),
+                    (kb, WSIZE))
+                acc_ref[...] = jnp.zeros((kb, WSIZE), jnp.float32)
+                return
+
+            # ---- per-keypoint scalars in [1, kb] rows ----
+            yc_l, xc_l, sc_l, oy_l, ox_l, isc_l = ([] for _ in range(6))
+            for j in range(kb):
+                i = s * kb + j
+                yc_l.append(yc_ref[i])
+                xc_l.append(xc_ref[i])
+                w2 = w2_ref[i]
+                oy_l.append(w2 % 1024 - 256)
+                ox_l.append((w2 >> 10) % 1024 - 256)
+                isc_l.append(w2 >> 20)
+                sc_l.append(isc_l[-1].astype(jnp.float32))
+            yc_row = jnp.stack(yc_l).reshape(1, kb)
+            xc_row = jnp.stack(xc_l).reshape(1, kb)
+            sc_row = jnp.stack(sc_l).reshape(1, kb)
+
+            # ---- orientation (gCalcOrient semantics) ----
+            if parts == "desc":
+                angle = jnp.zeros((kb, 1), jnp.float32)
+            else:
+                tap = jax.lax.broadcasted_iota(jnp.int32, (OPAD, 1), 0)
+                ta = tap // 11
+                tb = tap - 11 * ta
+                Ts = []
+                cols2 = []
+                for j in range(kb):
+                    orow = oy_l[j] + isc_l[j] * (ta - 5)
+                    ocol = ox_l[j] + isc_l[j] * (tb - 5)
+                    orow = jnp.where(tap >= 121, -1, orow)
+                    row_oh = one_hot_rows(orow, 128, sdt)
+                    # one matmul per derivative plane (the band's planes
+                    # are wpl lanes apart, unlike the private-window
+                    # kernel's adjacent layout)
+                    Tx = jax.lax.dot_general(
+                        row_oh, window(j, 1), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    Ty = jax.lax.dot_general(
+                        row_oh, window(j, 2), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    Ts.append(jnp.concatenate([Tx, Ty],
+                                              axis=1).astype(sdt))
+                    c = one_hot_rows(ocol, 256, sdt)
+                    cols2.append(jnp.concatenate([c, c], axis=1))
+                T_all = jnp.concatenate(Ts, axis=1)      # [OPAD, kb*512]
+                C_all = jnp.concatenate(cols2, axis=1)
+                P = T_all * C_all
+                gxy = jax.lax.dot_general(
+                    P, g2_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [OPAD, 2kb]
+                gx = gxy[:, :kb]
+                gy = gxy[:, kb:2 * kb]
+                dx = wtv * gx
+                dy = wtv * gy
+                ang = (_fast_atan2(dy, dx) if fixed
+                       else _atan2_poly(dy, dx))
+                abin = jnp.clip((ang * (21.0 / math.pi)).astype(jnp.int32)
+                                + 21, 0, 41)
+                expk = (jax.lax.broadcasted_iota(
+                    jnp.int32, (kb, kb * 128), 1) // 128
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (kb, kb * 128), 0)).astype(jnp.float32)
+
+                def expand(v):
+                    return jax.lax.dot_general(
+                        v, expk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                dxE = expand(dx)
+                dyE = expand(dy)
+                abE = expand(abin.astype(jnp.float32)).astype(jnp.int32)
+                b_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (OPAD, kb * 128), 1) % 128
+                hit = (abE == b_lane) & (wtv > 0)
+                resx_f = jnp.sum(jnp.where(hit, dxE, 0.0), axis=0,
+                                 keepdims=True)
+                resy_f = jnp.sum(jnp.where(hit, dyE, 0.0), axis=0,
+                                 keepdims=True)
+                resx = jnp.concatenate(
+                    [resx_f[:, 128 * k:128 * (k + 1)] for k in range(kb)],
+                    axis=0)
+                resy = jnp.concatenate(
+                    [resy_f[:, 128 * k:128 * (k + 1)] for k in range(kb)],
+                    axis=0)
+                re8x = jax.lax.dot_general(
+                    resx[:, :BINS], band_mat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                re8y = jax.lax.dot_general(
+                    resy[:, :BINS], band_mat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                mag = re8x * re8x + re8y * re8y
+                blane = jax.lax.broadcasted_iota(jnp.int32, (kb, BINS), 1)
+                mag = jnp.where(blane < 42, mag, -1.0)
+                maxv = jnp.max(mag, axis=1, keepdims=True)
+                first = jnp.min(jnp.where(mag == maxv, blane, BINS),
+                                axis=1, keepdims=True)
+                sel = (blane == first).astype(jnp.float32)
+                bx = jnp.sum(re8x * sel, axis=1, keepdims=True)
+                by = jnp.sum(re8y * sel, axis=1, keepdims=True)
+                angle = _fast_atan2(by, bx)
+                angle = jnp.where(angle < 0.0, angle + 2.0 * math.pi,
+                                  angle)
+            angle_col = angle
+            angle_ref[...] = jnp.broadcast_to(angle_col, (kb, WSIZE))
+
+            # ---- descriptor cell sums (gDescribe2 semantics) ----
+            if parts == "orient":
+                acc_ref[...] = jnp.zeros((kb, WSIZE), jnp.float32)
+                return
+            co_col = jnp.cos(angle_col)
+            si_col = jnp.sin(angle_col)
+            eye_kb = (jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 0)
+                      == jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 1)
+                      ).astype(jnp.float32)
+            co_row = jax.lax.dot_general(
+                co_col, eye_kb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            si_row = jax.lax.dot_general(
+                si_col, eye_kb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            xp = (xc_row + sc_row * (kof * co_row - lof * si_row)
+                  + 0.5).astype(jnp.int32)
+            yp = (yc_row + sc_row * (kof * si_row + lof * co_row)
+                  + 0.5).astype(jnp.int32)
+            yp = jnp.where(dlive > 0, yp, -1)
+            Ss = []
+            for j in range(kb):
+                row_oh = one_hot_rows(yp[:, j:j + 1], 128, sdt)
+                c = one_hot_rows(xp[:, j:j + 1], 256, sdt)
+                for t in range(3):
+                    Tt = jax.lax.dot_general(
+                        row_oh, window(j, t), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [NPAD, 256]
+                    Pt = Tt.astype(sdt) * c
+                    Ss.append(jnp.sum(Pt, axis=1, keepdims=True))
+            S_all = jnp.concatenate(Ss, axis=1).astype(
+                jnp.float32)                                # [NPAD, 3kb]
+            if fixed:
+                E3 = (jax.lax.broadcasted_iota(
+                    jnp.int32, (kb, 3 * kb), 1) // 3
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (kb, 3 * kb), 0)).astype(jnp.float32)
+                co3r = jax.lax.dot_general(
+                    co_col, E3, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                si3r = jax.lax.dot_general(
+                    si_col, E3, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                S_next = pltpu.roll(S_all, 3 * kb - 1, axis=1)
+                S_prev = pltpu.roll(S_all, 1, axis=1)
+                rx = (-si3r) * S_all + co3r * S_next
+                ry = co3r * S_prev + si3r * S_all
+                colt = jax.lax.broadcasted_iota(
+                    jnp.int32, (NPAD, 3 * kb), 1) % 3
+
+                def trunc(v):
+                    return v.astype(jnp.int32).astype(jnp.float32)
+
+                S_all = jnp.where(colt == 0, S_all,
+                                  jnp.where(colt == 1, trunc(rx),
+                                            trunc(ry)))
+            acc = jax.lax.dot_general(
+                S_all, M32, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [3kb, 32]
+            if fixed:
+                rot = acc
+            else:
+                R3 = (jax.lax.broadcasted_iota(jnp.int32, (3 * kb, kb), 1)
+                      == jax.lax.broadcasted_iota(jnp.int32,
+                                                  (3 * kb, kb), 0)
+                      // 3).astype(jnp.float32)
+                co3 = jax.lax.dot_general(
+                    R3, co_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                si3 = jax.lax.dot_general(
+                    R3, si_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_up = pltpu.roll(acc, 3 * kb - 1, axis=0)
+                acc_dn = pltpu.roll(acc, 1, axis=0)
+                rx_full = (-si3) * acc + co3 * acc_up
+                ry_full = co3 * acc_dn + si3 * acc
+                rowt = jax.lax.broadcasted_iota(
+                    jnp.int32, (3 * kb, 1), 0) % 3
+                rot = jnp.where(rowt == 0, acc,
+                                jnp.where(rowt == 1, rx_full, ry_full))
+            rows = jax.lax.broadcasted_iota(jnp.int32, (kb, 3 * kb), 1)
+            ks = jax.lax.broadcasted_iota(jnp.int32, (kb, 3 * kb), 0)
+            groups = [
+                jax.lax.dot_general(
+                    (rows == 3 * ks + c).astype(jnp.float32), rot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for c in range(3)]
+            acc_ref[...] = jnp.concatenate(
+                groups + [jnp.zeros((kb, WSIZE - 96), jnp.float32)],
+                axis=1)
+
+        # dead blocks' output slots are consumed directly -> read as zero
+        @pl.when(jnp.logical_not(live(step)))
+        def _():
+            angle_ref[...] = jnp.zeros_like(angle_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(live(step))
+        def _():
+            wait(step)
+            compute_block(step)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("patsize", "kb", "wpl", "interpret",
+                                   "parts", "fixed", "nbuf"))
+def orient_describe_banded(ikp, fkp, blkp, planes,
+                           patsize: int = 10, kb: int = 8, wpl: int = 0,
+                           interpret: bool = False, parts: str = "both",
+                           fixed: bool = False, nbuf: int = 2):
+    """Run the banded-window fused kernel.
+
+    Args:
+      ikp: tuple of TWO [N] int32 bit-packed per-keypoint fields (w1, w2 —
+        see _make_banded_kernel).  Separate packed 1D columns, NOT an
+        [N, k] table: the column interleave is a measured ~1.9 ms
+        relayout, and live prefetch operands serialize the kernel launch
+        in proportion to their count/bytes.
+      fkp: tuple of TWO [N] f32 fields (yc, xc), window-local against the
+        tile-ALIGNED window origin.
+      blkp: tuple of ONE [N//kb] int32 packed per-block field (bw).
+      planes: three [P, Hp, Wp] plane stacks; Wp == wpl; Hp >= BH.
+
+    Returns (angle [N] f32, acc [N, 87] f32), same layout as
+    ``orient_describe``.
+    """
+    n = ikp[0].shape[0]
+    assert n % kb == 0, "pad keypoint count to a multiple of kb"
+    assert planes[0].shape[2] == wpl and wpl % 128 == 0
+    assert planes[0].shape[1] >= BH, "pad plane stacks to >= BH rows"
+    if fixed:
+        assert all(p.dtype == jnp.float32 for p in planes)
+    n_steps = n // kb
+    kernel = _make_banded_kernel(kb, patsize, n_steps, wpl, parts, fixed,
+                                 nbuf)
+
+    wtv = jnp.asarray(_orient_weight_col())
+    band_mat = jnp.asarray(_band_matrix())
+    lof_np, kof_np, M32_np, dlive_np = _descriptor_tables(patsize)
+
+    def const_spec(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, *_: zeros,
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  const_spec((OPAD, 1)),
+                  const_spec((BINS, BINS)),
+                  const_spec((NPAD, 1)),
+                  const_spec((NPAD, 1)),
+                  const_spec((NPAD, 1)),
+                  const_spec((NPAD, 32)),
+                  const_spec((kb * 2 * 256, 2 * kb))],
+        out_specs=[
+            pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
+            pl.BlockSpec((kb, WSIZE), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, BH, _banded_lanes(kb, wpl)),
+                       jnp.float32 if fixed else jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((nbuf, kb, 3)),
+        ],
+    )
+    angle_b, acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, WSIZE), jnp.float32),
+            jax.ShapeDtypeStruct((n, WSIZE), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*ikp, *fkp, *blkp, planes[0], planes[1], planes[2], wtv,
+      band_mat, jnp.asarray(lof_np), jnp.asarray(kof_np),
+      jnp.asarray(dlive_np), jnp.asarray(M32_np),
+      jnp.asarray(_g2_matrix(kb, 256),
+                  jnp.float32 if fixed else jnp.bfloat16))
+    perm = jnp.asarray(_group_to_interleaved())
+    return angle_b[:, 0], acc[:, perm][:, :87]

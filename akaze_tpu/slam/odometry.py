@@ -14,7 +14,9 @@ in depth (median-depth-ratio scale propagation).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import time
 from functools import partial
 from typing import List, NamedTuple, Optional
 
@@ -115,6 +117,9 @@ class VisualOdometry:
         self.overflow_frames: List[int] = []
         self._frame_idx = 0
         self._kf_inliers0 = None           # inlier count right after a new kf
+        # opt-in host-path wall-time profile (see SlamSystem.prof): set to
+        # a defaultdict(float) to accumulate per-section seconds
+        self.prof = None
         self._scale = 1.0
         self._last_depth_med = None
         # per-kf-slot depths of the previous frame's triangulation (against
@@ -126,9 +131,21 @@ class VisualOdometry:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    @contextlib.contextmanager
+    def _timed(self, section: str):
+        if self.prof is None:
+            yield
+        else:
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.prof[section] += time.perf_counter() - t0
+
     def process(self, image) -> tuple:
         """Ingest one frame; returns its (R, t) world->camera pose."""
-        feats = self.akaze.detect_and_compute(image)
+        with self._timed("vo.detect"):
+            feats = self.akaze.detect_and_compute(image)
         self.last_overflow = (feats.overflow is not None
                               and bool(feats.overflow))
         if self.last_overflow:
@@ -143,11 +160,13 @@ class VisualOdometry:
             return R, t
 
         kf = self.keyframes[-1]
-        m, res, X1, z1, z2 = _two_view(
-            self._next_key(), kf.features, feats,
-            intr.fx, intr.fy, intr.cx, intr.cy, self.threshold)
-        n_inl = int(res.num_inliers)
-        inl = np.asarray(res.inliers)
+        with self._timed("vo.two_view"):
+            m, res, X1, z1, z2 = _two_view(
+                self._next_key(), kf.features, feats,
+                intr.fx, intr.fy, intr.cx, intr.cy, self.threshold)
+        with self._timed("vo.fetch"):
+            n_inl = int(res.num_inliers)
+            inl = np.asarray(res.inliers)
 
         if n_inl < self.min_inliers:
             # tracking failure: hold the last pose (fail-soft; the reference
@@ -277,67 +296,78 @@ def build_local_ba(kf_feats: List[Features], kf_poses, intr: Intrinsics,
         pair_matches.append(
             np.asarray(matches_fn(kf_feats[a], kf_feats[a + 1])))
 
-    # track stitching: track id = (kf0 slot) propagated forward
-    npts = int(np.asarray(kf_feats[0].valid).sum())
-    track_of = [dict() for _ in range(c)]  # slot -> track id per kf
-    tracks = []                             # list of [(kf, slot), ...]
-    for s in range(kf_feats[0].x.shape[0]):
-        if bool(np.asarray(kf_feats[0].valid)[s]):
-            track_of[0][s] = len(tracks)
-            tracks.append([(0, s)])
+    # Track stitching, fully vectorised on the host.  A track is a chain of
+    # consecutive matches starting at a kf0 slot (the invariant of the
+    # original dict walk: a track lives in exactly the keyframes
+    # 0..last-contiguous-match).  The r4 implementation looped Python dicts
+    # and issued ~6 tiny JAX dispatches per track (normalize/compose/
+    # triangulate) — measured 1.3 s per local-BA window on the CPU box,
+    # the single largest real host cost of the SLAM loop (BENCH_NOTES r5
+    # host profile); this version is numpy + 2 batched JAX calls.
+    valid0 = np.asarray(kf_feats[0].valid)
+    n_slots = valid0.shape[0]
+    cur = np.where(valid0)[0]            # track order = kf0 slot order
+    T = len(cur)
+    if T == 0:
+        raise ValueError("no tracks with >= 2 observations")
+    slots = np.full((c, T), -1, np.int64)
+    slots[0] = cur
+    alive = np.ones(T, bool)
     for a in range(c - 1):
         idx = pair_matches[a]
-        for s, tid in list(track_of[a].items()):
-            j = int(idx[s])
-            if j < 0:
-                continue
-            if j in track_of[a + 1]:
-                # two tracks matched into the same next-keyframe slot:
-                # first-wins — the later claim is dropped so one image
-                # measurement never constrains two landmarks
-                continue
-            track_of[a + 1][j] = tid
-            if len(tracks[tid]) and tracks[tid][-1][0] == a:
-                tracks[tid].append((a + 1, j))
+        nxt = np.where(alive, idx[np.clip(slots[a], 0, n_slots - 1)], -1)
+        ok = nxt >= 0
+        # first-wins on collisions: when several tracks (ascending track
+        # order) match into the same next-keyframe slot, only the first
+        # keeps it — one image measurement never constrains two landmarks
+        first = np.zeros(T, bool)
+        if ok.any():
+            tgt = nxt[ok]
+            _, first_idx = np.unique(tgt, return_index=True)
+            keep = np.zeros(tgt.shape[0], bool)
+            keep[first_idx] = True
+            first[np.nonzero(ok)[0]] = keep
+        alive = alive & first
+        slots[a + 1] = np.where(alive, nxt, -1)
 
-    # keep tracks with >= 2 observations
-    cams, pts, uvs = [], [], []
-    X0 = []
-    pid = 0
-    xs = [np.stack([np.asarray(f.x), np.asarray(f.y)], -1) for f in kf_feats]
+    nobs = (slots >= 0).sum(axis=0)      # contiguous run length from kf0
+    xs = np.stack([np.stack([np.asarray(f.x), np.asarray(f.y)], -1)
+                   for f in kf_feats])   # [c, n_slots, 2]
     Rs = np.stack([np.asarray(p[0]) for p in kf_poses])
     ts = np.stack([np.asarray(p[1]) for p in kf_poses])
-    for obs in tracks:
-        if len(obs) < 2:
-            continue
-        (a, sa), (b, sb) = obs[0], obs[1]
-        xa = normalize_points(jnp.asarray(xs[a][sa]), fx, fy, cx, cy)
-        xb = normalize_points(jnp.asarray(xs[b][sb]), fx, fy, cx, cy)
-        # relative pose a -> b
-        Rbi, tbi = Rs[b], ts[b]
-        Rai_inv, tai_inv = se3_inverse(jnp.asarray(Rs[a]),
-                                       jnp.asarray(ts[a]))
-        Rab, tab = se3_compose(jnp.asarray(Rbi), jnp.asarray(tbi),
-                               Rai_inv, tai_inv)
-        Xa, z1, z2 = triangulate(Rab, tab, xa[None], xb[None])
-        if float(z1[0]) <= 0:
-            continue
-        # to world coords: X_w = R_a^T (X_a - t_a)
-        Xw = np.asarray(Rs[a]).T @ (np.asarray(Xa[0]) - ts[a])
-        X0.append(Xw)
-        for (k, s) in obs:
-            cams.append(k)
-            pts.append(pid)
-            u = normalize_points(jnp.asarray(xs[k][s]), fx, fy, cx, cy)
-            uvs.append(np.asarray(u))
-        pid += 1
-        if pid >= max_pts:
-            break
-    if pid == 0:
+
+    cand = np.nonzero(nobs >= 2)[0]
+    if len(cand) == 0:
         raise ValueError("no tracks with >= 2 observations")
-    prob = BAProblem(cam=jnp.asarray(cams, jnp.int32),
-                     pt=jnp.asarray(pts, jnp.int32),
-                     uv=jnp.asarray(np.stack(uvs), jnp.float32),
-                     w=jnp.ones(len(cams), jnp.float32))
+    # every >=2-obs track starts with keyframes (0, 1), so ONE batched
+    # triangulation against the single relative pose 0 -> 1 seeds them all
+    xa = normalize_points(jnp.asarray(xs[0, slots[0, cand]]),
+                          fx, fy, cx, cy)
+    xb = normalize_points(jnp.asarray(xs[1, slots[1, cand]]),
+                          fx, fy, cx, cy)
+    Rai_inv, tai_inv = se3_inverse(jnp.asarray(Rs[0]), jnp.asarray(ts[0]))
+    Rab, tab = se3_compose(jnp.asarray(Rs[1]), jnp.asarray(ts[1]),
+                           Rai_inv, tai_inv)
+    Xa, z1, _ = triangulate(Rab, tab, xa, xb)
+    good = np.asarray(z1) > 0
+    kept = cand[good][:max_pts]
+    P = len(kept)
+    if P == 0:
+        raise ValueError("no tracks with >= 2 observations")
+    # to world coords: X_w = R_0^T (X_0 - t_0)
+    X0 = (np.asarray(Xa)[good][:max_pts] - ts[0]) @ Rs[0]
+
+    counts = nobs[kept]
+    M = int(counts.sum())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rows = np.arange(M)
+    cams = (rows - np.repeat(starts, counts)).astype(np.int32)
+    pts = np.repeat(np.arange(P, dtype=np.int32), counts)
+    slot_rows = slots[cams, np.repeat(kept, counts)]
+    uvs = normalize_points(jnp.asarray(xs[cams, slot_rows], jnp.float32),
+                           fx, fy, cx, cy)
+    prob = BAProblem(cam=jnp.asarray(cams), pt=jnp.asarray(pts),
+                     uv=uvs.astype(jnp.float32),
+                     w=jnp.ones(M, jnp.float32))
     return (jnp.asarray(Rs), jnp.asarray(ts),
-            jnp.asarray(np.stack(X0), jnp.float32), prob)
+            jnp.asarray(X0, jnp.float32), prob)

@@ -14,7 +14,10 @@ Checkpointable via slam.checkpoint (poses + keyframe metadata).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import time
+from collections import defaultdict
 from functools import partial
 from typing import List, Optional
 
@@ -215,6 +218,22 @@ class SlamSystem:
         self.index = KeyframeIndex()
         self._n_kf_seen = 1
         self._since_opt = 0
+        # opt-in wall-time profile of the per-frame host path: seconds
+        # accumulated per section (r4 verdict weak #5 — the steady-state
+        # frame cost had never been attributed).  Enable with
+        # ``slam.prof = defaultdict(float)``; read/reset it directly.
+        self.prof = None
+
+    @contextlib.contextmanager
+    def _timed(self, section: str):
+        if self.prof is None:
+            yield
+        else:
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.prof[section] += time.perf_counter() - t0
 
     def _relative(self, Ra, ta, Rb, tb):
         Ri, ti = se3_inverse(jnp.asarray(Ra), jnp.asarray(ta))
@@ -304,26 +323,31 @@ class SlamSystem:
 
     def process(self, image) -> tuple:
         n_before = len(self.vo.keyframes)
-        pose = self.vo.process(image)
+        with self._timed("vo.process"):
+            pose = self.vo.process(image)
         if len(self.vo.keyframes) > n_before:
             new_idx = len(self.vo.keyframes) - 1
-            self.index.add(self.vo.keyframes[new_idx].features)
+            with self._timed("index.add"):
+                self.index.add(self.vo.keyframes[new_idx].features)
             if n_before > 0:
                 prev = self.vo.keyframes[new_idx - 1]
                 new = self.vo.keyframes[new_idx]
                 R_ij, t_ij = self._relative(prev.R, prev.t, new.R, new.t)
                 self.edges.append((new_idx - 1, new_idx, R_ij, t_ij,
                                    self.cfg.odom_weight))
-                self._try_loop_closure(new_idx)
+                with self._timed("loop_closure"):
+                    self._try_loop_closure(new_idx)
                 self._since_opt += 1
                 if self._since_opt >= self.cfg.optimize_every:
-                    self.optimize()
+                    with self._timed("pgo"):
+                        self.optimize()
                     self._since_opt = 0
                 if (self.cfg.local_ba_every
                         and (new_idx + 1) % self.cfg.local_ba_every == 0):
-                    self.local_bundle_adjust(
-                        window=self.cfg.local_ba_window,
-                        max_pts=self.cfg.local_ba_points)
+                    with self._timed("local_ba"):
+                        self.local_bundle_adjust(
+                            window=self.cfg.local_ba_window,
+                            max_pts=self.cfg.local_ba_points)
         return pose
 
     def optimize(self, iters: int = 10):
@@ -400,8 +424,9 @@ class SlamSystem:
         feats = [k.features for k in kfs[lo:]]
         poses = [(k.R, k.t) for k in kfs[lo:]]
         try:
-            Rs, ts, X0, prob = build_local_ba(feats, poses, self.intr,
-                                              max_pts=max_pts)
+            with self._timed("local_ba.build"):
+                Rs, ts, X0, prob = build_local_ba(feats, poses, self.intr,
+                                                  max_pts=max_pts)
         except ValueError:
             return None
 

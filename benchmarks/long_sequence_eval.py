@@ -147,8 +147,15 @@ def run(n_frames: int = 120, noise: float = 0.3, seed: int = 3,
         mesh=mesh, min_inliers=20, keyframe_inlier_ratio=0.7)
     slam.vo.akaze = _FeatureFrontend(feats)
 
+    from collections import defaultdict
+    prof = defaultdict(float)
+    slam.prof = prof
+    slam.vo.prof = prof
+
     frame_ms = []
     for k in range(n_frames):
+        if k == n_frames // 2:
+            prof.clear()   # steady-state profile: second half only
         t0 = time.time()
         slam.process(np.full((2, 2), k, np.float32))
         frame_ms.append((time.time() - t0) * 1000)
@@ -189,6 +196,9 @@ def run(n_frames: int = 120, noise: float = 0.3, seed: int = 3,
         "frame_ms_first_half": round(float(np.mean(fm[wu:half])), 1),
         "frame_ms_second_half": round(float(np.mean(fm[half:])), 1),
         "frame_ms_p95": round(float(np.percentile(warm, 95)), 1),
+        # steady-state host-path attribution (second half; ms per frame)
+        "host_profile_ms": {k: round(v / max(n_frames - half, 1) * 1000, 1)
+                            for k, v in sorted(prof.items())},
     }
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

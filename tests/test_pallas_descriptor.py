@@ -113,6 +113,33 @@ def test_pair_batched_pipeline_matches_two_calls(test_image):
         assert bool(got.overflow) == bool(want.overflow)
 
 
+def test_banded_windows_match_private_windows(test_image):
+    """The r5 banded-window delivery (shared [BH, W] row bands sliced
+    in-VMEM, parked fallback for plane-straddling blocks) must be
+    BIT-identical to the r1-r4 private-window kernel on both the float
+    and the default fixed paths — sampling positions are absolute, so
+    only the DMA plan may differ.  (Hardware parity on the full stock
+    pair is recorded in BENCH_NOTES r5.)"""
+    for fixed in (False, True):
+        img = jnp.asarray((test_image * 255).astype(np.int32) if fixed
+                          else test_image)
+        feats = {}
+        for banded in (False, True):
+            cfg = AkazeConfig(max_pts=256, noctaves=2,
+                              pallas_descriptor="interpret",
+                              banded_windows=banded)
+            feats[banded] = detect_and_compute(
+                img, build_plan(*test_image.shape, cfg), fixed=fixed)
+        n = int(feats[False].count)
+        assert int(feats[True].count) == n > 10
+        np.testing.assert_array_equal(
+            np.asarray(feats[False].words)[:n],
+            np.asarray(feats[True].words)[:n], err_msg=f"fixed={fixed}")
+        np.testing.assert_array_equal(
+            np.asarray(feats[False].angle)[:n],
+            np.asarray(feats[True].angle)[:n], err_msg=f"fixed={fixed}")
+
+
 def test_fixed_exact_kernel_matches_xla_fixed_path(test_image):
     """fixed_exact_sampling=True: the f32 kernel flavour (per-tap rotation
     + int truncation, fast polynomial atan2) must reproduce the XLA fixed
