@@ -23,6 +23,7 @@ from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .plan import PipelinePlan
 from .scale_space import OctaveData
@@ -224,20 +225,93 @@ TILE_CAP = 12   # max survivors kept per row-tile.  (64, 12) replaces the
                 # (overflow=False) with margin at cap 12
 
 
+def _tile_candidates_argmax(mask, h, w, wt, ntiles, TILE_, npick):
+    """Level 1 by iterated masked argmax over the full [h, ntiles, TILE]
+    key array (the r1-r4 form; ~36 VPU passes over H*W lanes)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    key = jnp.where(mask, (w - cols).astype(jnp.float32), 0.0)
+    keyt = jnp.pad(key, ((0, 0), (0, wt - w))).reshape(h, ntiles, TILE_)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, ntiles, TILE_), 2)
+    vs, cs = [], []
+    tbase = (jnp.arange(ntiles, dtype=jnp.int32) * TILE_)[None, :]
+    k = keyt
+    for _ in range(npick):
+        ar = jnp.argmax(k, axis=2).astype(jnp.int32)    # [h, ntiles]
+        vs.append(jnp.max(k, axis=2))
+        cs.append(tbase + ar)
+        k = jnp.where(lane == ar[:, :, None], 0.0, k)
+    cv = jnp.stack(vs, axis=2).reshape(h, -1)     # [h, ntiles*npick]
+    cc = jnp.stack(cs, axis=2).reshape(h, -1)
+    return cv, cc
+
+
+_BIT_CHUNK = 16  # columns per packed integer field: sums of 2^0..2^15 stay
+                 # exact through a bf16xbf16->f32 matmul (max 65535 < 2^24)
+
+
+def _tile_candidates_bitpack(mask, h, w, wt, ntiles, TILE_, npick):
+    """Level 1 via an MXU bitpack: one matmul per 16-column field packs the
+    survivor mask into integer bitfields ([h, ntiles] each), then ``npick``
+    lowest-set-bit extractions walk them with lane ops over the TINY packed
+    arrays.  Replaces ~3*npick VPU passes over all H*W lanes (0.79 ms at
+    960x1280, the bulk of the r4 select cost) with one MXU pass + ~25*npick
+    lane ops over H*W/TILE lanes.  Identical pick semantics to the argmax
+    form: the npick leftmost survivors of every TILE-column span, in
+    ascending column order."""
+    nf = TILE_ // _BIT_CHUNK
+    maskp = jnp.pad(mask, ((0, 0), (0, wt - w))).astype(jnp.bfloat16)
+    fields = []
+    for f in range(nf):
+        wgt = np.zeros((wt, ntiles), np.float32)
+        for t in range(ntiles):
+            base = t * TILE_ + f * _BIT_CHUNK
+            wgt[base:base + _BIT_CHUNK, t] = 2.0 ** np.arange(_BIT_CHUNK)
+        packed = jax.lax.dot(maskp, jnp.asarray(wgt, jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+        fields.append(packed.astype(jnp.int32))
+    vs, cs = [], []
+    tbase = (jnp.arange(ntiles, dtype=jnp.int32) * TILE_)[None, :]
+    for _ in range(npick):
+        nz = [fld != 0 for fld in fields]
+        val = fields[nf - 1]
+        cidx = jnp.full((h, ntiles), nf - 1, jnp.int32)
+        for k in range(nf - 2, -1, -1):
+            val = jnp.where(nz[k], fields[k], val)
+            cidx = jnp.where(nz[k], k, cidx)
+        anyset = val != 0
+        b = val & -val
+        bitidx = jax.lax.population_count(b - 1)
+        col = tbase + cidx * _BIT_CHUNK + bitidx
+        vs.append(jnp.where(anyset, (w - col).astype(jnp.float32), 0.0))
+        cs.append(col)
+        # clear the extracted bit in the first nonzero field only
+        prev = jnp.zeros((h, ntiles), bool)
+        for k in range(nf):
+            first = nz[k] & ~prev
+            fields[k] = jnp.where(first, fields[k] & (fields[k] - 1),
+                                  fields[k])
+            prev = prev | nz[k]
+    cv = jnp.stack(vs, axis=2).reshape(h, -1)     # [h, ntiles*npick]
+    cc = jnp.stack(cs, axis=2).reshape(h, -1)
+    return cv, cc
+
+
 def select_keypoints(mask, resp_full, size_full, layer_full,
                      max_pts: int, row_cap: int = None,
-                     tile_cap: int = None, tile: int = None) -> Keypoints:
+                     tile_cap: int = None, tile: int = None,
+                     size_table: tuple = None) -> Keypoints:
     """Masked compaction into fixed-size SoA tensors.
 
     A flat ``jnp.nonzero`` over the full-resolution mask costs a cumsum +
     scatter over H*W elements (~11 ms at 960x1280 on v5e), and a per-row
     ``lax.top_k`` over the full width costs a partial sort of W lanes per
     row (~1.8 ms).  Survivors are sparse, so compact in three levels:
-    per-128-lane-tile top-TILE_CAP by iterated masked argmax (cheap vector
-    ops), per-row top-ROW_CAP over the few tile candidates, then one small
-    nonzero over the [H*ROW_CAP] list.  Exact row-major order: the key
-    encodes descending column rank, tiles partition columns in order, and
-    ties cannot occur among live keys.
+    per-TILE-lane-span top-TILE_CAP leftmost survivors (MXU bitpack +
+    lowest-set-bit walks; see _tile_candidates_bitpack), per-row top-ROW_CAP
+    over the few tile candidates, then one small nonzero over the
+    [H*ROW_CAP] list.  Exact row-major order: the key encodes descending
+    column rank, tiles partition columns in order, and ties cannot occur
+    among live keys.
     """
     ROW_CAP_ = ROW_CAP if row_cap is None else row_cap
     TILE_CAP_ = TILE_CAP if tile_cap is None else tile_cap
@@ -247,24 +321,10 @@ def select_keypoints(mask, resp_full, size_full, layer_full,
     ntiles = wt // TILE_
     cap = min(ROW_CAP_, w, ntiles * TILE_CAP_)
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), max_pts)
-    # key encodes (valid, -column) so top-k yields valid columns in
-    # ascending column order; iota < 2^24 is exact in f32's integer range
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    key = jnp.where(mask, (w - cols).astype(jnp.float32), 0.0)
-
-    # level 1: top-TILE_CAP per TILE-lane span via iterated masked argmax
-    keyt = jnp.pad(key, ((0, 0), (0, wt - w))).reshape(h, ntiles, TILE_)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (h, ntiles, TILE_), 2)
-    vs, cs = [], []
-    tbase = (jnp.arange(ntiles, dtype=jnp.int32) * TILE_)[None, :]
-    k = keyt
-    for _ in range(min(TILE_CAP_, cap)):
-        ar = jnp.argmax(k, axis=2).astype(jnp.int32)    # [h, ntiles]
-        vs.append(jnp.max(k, axis=2))
-        cs.append(tbase + ar)
-        k = jnp.where(lane == ar[:, :, None], 0.0, k)
-    cv = jnp.stack(vs, axis=2).reshape(h, -1)     # [h, ntiles*TILE_CAP]
-    cc = jnp.stack(cs, axis=2).reshape(h, -1)
+    npick = min(TILE_CAP_, cap)
+    lvl1 = (_tile_candidates_bitpack if TILE_ % _BIT_CHUNK == 0
+            else _tile_candidates_argmax)
+    cv, cc = lvl1(mask, h, w, wt, ntiles, TILE_, npick)
 
     # level 2: top-ROW_CAP per row over the tile candidates (tiles
     # partition columns in order, so key order == global column order)
@@ -276,10 +336,19 @@ def select_keypoints(mask, resp_full, size_full, layer_full,
     flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (h, cap), 0) * w
                 + topi).reshape(-1)
     cflat = cvalid.reshape(-1)
-    (sel,) = jnp.nonzero(cflat, size=max_pts, fill_value=0)
+    # compaction via ONE 2-operand sort (valid candidates first, original
+    # order preserved) — a [h*cap] sort is ~free on TPU where the previous
+    # nonzero (cumsum + scatter) + index gather cost ~0.25 ms at 960x1280
+    pos = jnp.arange(h * cap, dtype=jnp.int32)
+    skey = jnp.where(cflat, pos, jnp.int32(np.iinfo(np.int32).max))
+    _, sidx = jax.lax.sort((skey, flat_idx), num_keys=1)
     n_cand = jnp.sum(cflat.astype(jnp.int32))
     got = jnp.arange(max_pts, dtype=jnp.int32) < n_cand
-    idx = jnp.where(got, flat_idx[sel], 0).astype(jnp.int32)
+    if max_pts <= h * cap:
+        sidx = sidx[:max_pts]
+    else:
+        sidx = jnp.pad(sidx, (0, max_pts - h * cap))
+    idx = jnp.where(got, sidx, 0).astype(jnp.int32)
     # a row overflowing ROW_CAP drops its tail; count reflects what was
     # kept and the loss is flagged
     total = jnp.sum(mask.astype(jnp.int32))
@@ -288,10 +357,21 @@ def select_keypoints(mask, resp_full, size_full, layer_full,
     valid = jnp.arange(max_pts, dtype=jnp.int32) < count
     y = idx // w
     x = idx % w
+    layer = layer_full.ravel()[idx]
+    if size_table is not None:
+        # sizes are a static per-sublevel table (build_extrema_maps wrote
+        # size_full = sizes[winning scale]), so derive size from the layer
+        # code with a fused where-chain instead of a third 7.5 ns/element
+        # full-resolution gather; live slots always have layer >= 0
+        size = jnp.full(x.shape, 0.0, jnp.float32)
+        for li, sz in enumerate(size_table):
+            size = jnp.where(layer == li, jnp.float32(sz), size)
+    else:
+        size = size_full.ravel()[idx]
     return Keypoints(
         x=x.astype(jnp.float32), y=y.astype(jnp.float32),
-        size=size_full.ravel()[idx],
-        layer=layer_full.ravel()[idx],
+        size=size,
+        layer=layer,
         response=resp_full.ravel()[idx].astype(jnp.float32),
         valid=valid, count=count, overflow=overflow)
 
@@ -383,7 +463,8 @@ def build_padded_pyramid(octaves: List[OctaveData], wsize: int,
 
 
 def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
-                     fixed: bool = False, row_shift=None) -> Keypoints:
+                     fixed: bool = False, row_shift=None,
+                     buckets: bool = False) -> Keypoints:
     """Sub-pixel refinement (gRefine, akazed.cu:1615-1662): 3x3 quadratic
     fit on the det plane; offsets outside (-1, 1) keep the integer
     location.
@@ -392,7 +473,31 @@ def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
     global octave row to its row in this shard's halo-extended det stack
     (shard offset minus the one-row halo).  Seam-exact because the extrema
     border rect keeps every keypoint >= 1 row inside the global image at
-    its own octave, so the 3x3 fit never reads the constant-fill rows."""
+    its own octave, so the 3x3 fit never reads the constant-fill rows.
+
+    ``buckets``: run the stencil gathers (the cost is 7.5 ns per gathered
+    element on v5e, over all max_pts slots) inside a ``lax.switch`` over
+    capacity buckets so dead slots past the smallest bucket >= count are
+    never fetched.  Bit-exact (dead slots keep x/y either way).  Leave off
+    under vmap (all switch branches would execute, data_parallel.py:51)."""
+    if buckets:
+        caps = [c for c in (1024, 2048, 4096) if c < kps.x.shape[0]]
+        caps.append(kps.x.shape[0])
+
+        def make_branch(nb):
+            def br(kps):
+                sub = kps._replace(
+                    x=kps.x[:nb], y=kps.y[:nb], layer=kps.layer[:nb],
+                    valid=kps.valid[:nb])
+                ref = refine_keypoints(sub, flat, plan, fixed, row_shift)
+                return (jnp.concatenate([ref.x, kps.x[nb:]]),
+                        jnp.concatenate([ref.y, kps.y[nb:]]))
+            return br
+
+        bi = sum((kps.count > c).astype(jnp.int32) for c in caps[:-1])
+        nx, ny = jax.lax.switch(bi, [make_branch(c) for c in caps], kps)
+        return kps._replace(x=nx, y=ny)
+
     ms = plan.config.max_scale
     o = kps.layer // ms
     s = kps.layer % ms
@@ -457,11 +562,27 @@ def refine_keypoints(kps: Keypoints, flat: FlatPyramid, plan: PipelinePlan,
                         y=jnp.where(keep, kps.y, new_y))
 
 
+def size_table_for(plan: PipelinePlan) -> tuple:
+    """Static per-layer-code sigma-size table (what build_extrema_maps
+    writes into size_full), for the gather-free size reconstruction in
+    select_keypoints."""
+    ms = plan.config.max_scale
+    table = [0.0] * (len(plan.octaves) * ms)
+    for oi, oplan in enumerate(plan.octaves):
+        for si, sp in enumerate(oplan.scales):
+            table[oi * ms + si] = float(sp.size)
+    return tuple(table)
+
+
 def detect_keypoints(octaves: List[OctaveData], plan: PipelinePlan,
-                     fixed: bool = False) -> Keypoints:
-    """Full detection stage: extrema maps -> NMS -> selection -> refine."""
+                     fixed: bool = False, buckets: bool = False) -> Keypoints:
+    """Full detection stage: extrema maps -> NMS -> selection -> refine.
+
+    ``buckets``: count-bucketed refinement gathers (see refine_keypoints);
+    only safe outside vmap."""
     resp, size, layer = build_extrema_maps(octaves, plan, fixed)
     mask = nms(resp, size, layer, plan, fixed)
-    kps = select_keypoints(mask, resp, size, layer, plan.config.max_pts)
+    kps = select_keypoints(mask, resp, size, layer, plan.config.max_pts,
+                           size_table=size_table_for(plan))
     flat = flatten_pyramid(octaves, det_only=True)
-    return refine_keypoints(kps, flat, plan, fixed)
+    return refine_keypoints(kps, flat, plan, fixed, buckets=buckets)

@@ -48,7 +48,9 @@ def batched_detect_and_compute(images, plan: PipelinePlan,
     """vmap of the single-frame pipeline over a leading batch axis
     (intra-device batching; XLA formulation, see _xla_only_plan)."""
     plan = _xla_only_plan(plan)
-    return jax.vmap(lambda im: detect_and_compute(im, plan, fixed))(images)
+    # refine_buckets off: under vmap a lax.switch runs ALL branches
+    return jax.vmap(lambda im: detect_and_compute(
+        im, plan, fixed, refine_buckets=False))(images)
 
 
 def make_dp_step(plan: PipelinePlan, mesh: Mesh, fixed: bool = False,

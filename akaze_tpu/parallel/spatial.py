@@ -546,7 +546,9 @@ def _detect_describe_local(image, plan: PipelinePlan, axis_name: str,
                                0, edge=minval)
     mask = nms(resp, size, layer, plan, fixed, resp_pad=resp_pad,
                row0=row0, h_global=plan.height)
-    kps = select_keypoints(mask, resp, size, layer, cfg.max_pts)
+    from ..detect import size_table_for
+    kps = select_keypoints(mask, resp, size, layer, cfg.max_pts,
+                           size_table=size_table_for(plan))
     kps = kps._replace(y=kps.y + row0.astype(jnp.float32))
 
     # refinement on the same halo-1 det stacks (seam-exact: the extrema

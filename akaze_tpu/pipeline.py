@@ -45,10 +45,15 @@ class Features(NamedTuple):
 
 
 def detect_and_compute(image, plan: PipelinePlan, fixed: bool = False,
-                       describe: bool = True) -> Features:
-    """Pure function: image -> Features.  Jit with ``plan``/``fixed`` static."""
+                       describe: bool = True,
+                       refine_buckets: bool = True) -> Features:
+    """Pure function: image -> Features.  Jit with ``plan``/``fixed`` static.
+
+    ``refine_buckets``: count-bucketed refinement gathers — bit-exact and
+    faster, but must be disabled under vmap (every lax.switch branch would
+    execute; see data_parallel.py)."""
     octaves, _ = build_scale_space(image, plan, fixed)
-    kps = detect_keypoints(octaves, plan, fixed)
+    kps = detect_keypoints(octaves, plan, fixed, buckets=refine_buckets)
     if describe:
         # bf16 windows: halves the window-extraction and one-hot matmul HBM
         # traffic; the one-hot selections stay exact (0/1 weights), only the
@@ -129,8 +134,8 @@ def detect_and_compute_pair(image_a, image_b, plan: PipelinePlan,
     # path was built to avoid (batched top_k / 4D transposes / batched
     # gathers): measured 34.2 ms for the pair against 2x1.8 ms unbatched
     # (benchmarks/pair_bisect.py, v5e, r3).
-    kps_a = detect_keypoints(octs_a, plan, fixed)
-    kps_b = detect_keypoints(octs_b, plan, fixed)
+    kps_a = detect_keypoints(octs_a, plan, fixed, buckets=True)
+    kps_b = detect_keypoints(octs_b, plan, fixed, buckets=True)
 
     extra = (8, 128)
     exact_fixed = fixed and plan.config.fixed_exact_sampling
