@@ -4,6 +4,7 @@ adjustment."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from akaze_tpu.geometry import se3_exp, se3_log, se3_compose, se3_inverse
 from akaze_tpu.slam import (PoseGraph, optimize_pose_graph, BAProblem,
@@ -359,6 +360,9 @@ class TestCapacityBucketing:
         from akaze_tpu.slam.posegraph import optimize_pose_graph
         from akaze_tpu.slam.odometry import Intrinsics
 
+        if not hasattr(optimize_pose_graph, "_cache_size"):
+            pytest.skip("jit cache-size introspection unavailable in this "
+                        "JAX version; compile-count pinning not checkable")
         intr = Intrinsics(fx=200.0, fy=200.0, cx=112.0, cy=80.0)
         sys_ = SlamSystem(intr, slam_config=SlamConfig(optimize_every=100))
         base = optimize_pose_graph._cache_size()
