@@ -709,7 +709,15 @@ def _banded_lanes(kb: int, wpl: int) -> int:
 
 def _make_banded_kernel(kb: int, patsize: int, n_steps: int, wpl: int,
                         parts: str = "both", fixed: bool = False,
-                        nbuf: int = 2):
+                        nbuf: int = 2, hist: str = "bins"):
+    """``hist``: orientation-histogram formulation.  "lanes" is the
+    private-window kernel's layout (bins at lane k*128+b of a
+    [OPAD, kb*128] expansion) — sized for kb=8, it grows linearly in kb
+    and at the banded KB=40 the three [128, kb*128] f32 expansions
+    dominate the orientation phase.  "bins" loops the 42 bins over the
+    existing [OPAD, kb] arrays (one masked tap-axis sum per bin, summands
+    and order identical, so results are bit-equal) and runs the band
+    window / first-max tail transposed as [BINS, kb]."""
     sdt = jnp.float32 if fixed else jnp.bfloat16
     lanes_total = _banded_lanes(kb, wpl)
 
@@ -894,50 +902,97 @@ def _make_banded_kernel(kb: int, patsize: int, n_steps: int, wpl: int,
                        else _atan2_poly(dy, dx))
                 abin = jnp.clip((ang * (21.0 / math.pi)).astype(jnp.int32)
                                 + 21, 0, 41)
-                expk = (jax.lax.broadcasted_iota(
-                    jnp.int32, (kb, kb * 128), 1) // 128
-                    == jax.lax.broadcasted_iota(
-                        jnp.int32, (kb, kb * 128), 0)).astype(jnp.float32)
-
-                def expand(v):
-                    return jax.lax.dot_general(
-                        v, expk, (((1,), (0,)), ((), ())),
+                if hist == "bins":
+                    # 42 masked tap-axis sums over the existing [OPAD, kb]
+                    # arrays; summands and reduction axis match the
+                    # "lanes" expansion exactly (the expansion copies
+                    # dx[t, k] verbatim to lane k*128+b), so the sums are
+                    # bit-equal while the arrays stay kb lanes wide
+                    live_t = wtv > 0                         # [OPAD, 1]
+                    brow = jax.lax.broadcasted_iota(
+                        jnp.int32, (BINS, kb), 0)
+                    resxT = jnp.zeros((BINS, kb), jnp.float32)
+                    resyT = jnp.zeros((BINS, kb), jnp.float32)
+                    for b in range(42):
+                        hb = (abin == b) & live_t
+                        rxb = jnp.sum(jnp.where(hb, dx, 0.0), axis=0,
+                                      keepdims=True)         # [1, kb]
+                        ryb = jnp.sum(jnp.where(hb, dy, 0.0), axis=0,
+                                      keepdims=True)
+                        resxT = resxT + jnp.where(brow == b, rxb, 0.0)
+                        resyT = resyT + jnp.where(brow == b, ryb, 0.0)
+                    re8xT = jax.lax.dot_general(
+                        band_mat, resxT, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [BINS, kb]
+                    re8yT = jax.lax.dot_general(
+                        band_mat, resyT, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                    mag = re8xT * re8xT + re8yT * re8yT
+                    mag = jnp.where(brow < 42, mag, -1.0)
+                    maxv = jnp.max(mag, axis=0, keepdims=True)
+                    first = jnp.min(jnp.where(mag == maxv, brow, BINS),
+                                    axis=0, keepdims=True)
+                    sel = (brow == first).astype(jnp.float32)
+                    bx = jnp.sum(re8xT * sel, axis=0, keepdims=True)
+                    by = jnp.sum(re8yT * sel, axis=0, keepdims=True)
+                    ang_row = _fast_atan2(by, bx)            # [1, kb]
+                    ang_row = jnp.where(ang_row < 0.0,
+                                        ang_row + 2.0 * math.pi, ang_row)
+                    eye_t = (jax.lax.broadcasted_iota(
+                        jnp.int32, (kb, kb), 0)
+                        == jax.lax.broadcasted_iota(
+                            jnp.int32, (kb, kb), 1)).astype(jnp.float32)
+                    # [1, kb] -> [kb, 1] via an exact 0/1 contraction
+                    angle = jax.lax.dot_general(
+                        eye_t, ang_row, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    expk = (jax.lax.broadcasted_iota(
+                        jnp.int32, (kb, kb * 128), 1) // 128
+                        == jax.lax.broadcasted_iota(
+                            jnp.int32, (kb, kb * 128), 0)).astype(
+                                jnp.float32)
 
-                dxE = expand(dx)
-                dyE = expand(dy)
-                abE = expand(abin.astype(jnp.float32)).astype(jnp.int32)
-                b_lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (OPAD, kb * 128), 1) % 128
-                hit = (abE == b_lane) & (wtv > 0)
-                resx_f = jnp.sum(jnp.where(hit, dxE, 0.0), axis=0,
-                                 keepdims=True)
-                resy_f = jnp.sum(jnp.where(hit, dyE, 0.0), axis=0,
-                                 keepdims=True)
-                resx = jnp.concatenate(
-                    [resx_f[:, 128 * k:128 * (k + 1)] for k in range(kb)],
-                    axis=0)
-                resy = jnp.concatenate(
-                    [resy_f[:, 128 * k:128 * (k + 1)] for k in range(kb)],
-                    axis=0)
-                re8x = jax.lax.dot_general(
-                    resx[:, :BINS], band_mat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                re8y = jax.lax.dot_general(
-                    resy[:, :BINS], band_mat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                mag = re8x * re8x + re8y * re8y
-                blane = jax.lax.broadcasted_iota(jnp.int32, (kb, BINS), 1)
-                mag = jnp.where(blane < 42, mag, -1.0)
-                maxv = jnp.max(mag, axis=1, keepdims=True)
-                first = jnp.min(jnp.where(mag == maxv, blane, BINS),
-                                axis=1, keepdims=True)
-                sel = (blane == first).astype(jnp.float32)
-                bx = jnp.sum(re8x * sel, axis=1, keepdims=True)
-                by = jnp.sum(re8y * sel, axis=1, keepdims=True)
-                angle = _fast_atan2(by, bx)
-                angle = jnp.where(angle < 0.0, angle + 2.0 * math.pi,
-                                  angle)
+                    def expand(v):
+                        return jax.lax.dot_general(
+                            v, expk, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    dxE = expand(dx)
+                    dyE = expand(dy)
+                    abE = expand(abin.astype(jnp.float32)).astype(jnp.int32)
+                    b_lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (OPAD, kb * 128), 1) % 128
+                    hit = (abE == b_lane) & (wtv > 0)
+                    resx_f = jnp.sum(jnp.where(hit, dxE, 0.0), axis=0,
+                                     keepdims=True)
+                    resy_f = jnp.sum(jnp.where(hit, dyE, 0.0), axis=0,
+                                     keepdims=True)
+                    resx = jnp.concatenate(
+                        [resx_f[:, 128 * k:128 * (k + 1)]
+                         for k in range(kb)], axis=0)
+                    resy = jnp.concatenate(
+                        [resy_f[:, 128 * k:128 * (k + 1)]
+                         for k in range(kb)], axis=0)
+                    re8x = jax.lax.dot_general(
+                        resx[:, :BINS], band_mat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    re8y = jax.lax.dot_general(
+                        resy[:, :BINS], band_mat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    mag = re8x * re8x + re8y * re8y
+                    blane = jax.lax.broadcasted_iota(
+                        jnp.int32, (kb, BINS), 1)
+                    mag = jnp.where(blane < 42, mag, -1.0)
+                    maxv = jnp.max(mag, axis=1, keepdims=True)
+                    first = jnp.min(jnp.where(mag == maxv, blane, BINS),
+                                    axis=1, keepdims=True)
+                    sel = (blane == first).astype(jnp.float32)
+                    bx = jnp.sum(re8x * sel, axis=1, keepdims=True)
+                    by = jnp.sum(re8y * sel, axis=1, keepdims=True)
+                    angle = _fast_atan2(by, bx)
+                    angle = jnp.where(angle < 0.0, angle + 2.0 * math.pi,
+                                      angle)
             angle_col = angle
             angle_ref[...] = jnp.broadcast_to(angle_col, (kb, WSIZE))
 
@@ -1048,11 +1103,12 @@ def _make_banded_kernel(kb: int, patsize: int, n_steps: int, wpl: int,
 
 
 @partial(jax.jit, static_argnames=("patsize", "kb", "wpl", "interpret",
-                                   "parts", "fixed", "nbuf"))
+                                   "parts", "fixed", "nbuf", "hist"))
 def orient_describe_banded(ikp, fkp, blkp, planes,
                            patsize: int = 10, kb: int = 8, wpl: int = 0,
                            interpret: bool = False, parts: str = "both",
-                           fixed: bool = False, nbuf: int = 2):
+                           fixed: bool = False, nbuf: int = 2,
+                           hist: str = "bins"):
     """Run the banded-window fused kernel.
 
     Args:
@@ -1077,7 +1133,7 @@ def orient_describe_banded(ikp, fkp, blkp, planes,
         assert all(p.dtype == jnp.float32 for p in planes)
     n_steps = n // kb
     kernel = _make_banded_kernel(kb, patsize, n_steps, wpl, parts, fixed,
-                                 nbuf)
+                                 nbuf, hist)
 
     wtv = jnp.asarray(_orient_weight_col())
     band_mat = jnp.asarray(_band_matrix())

@@ -203,7 +203,19 @@ class VisualOdometry:
         z = z_all[inl]
         depth_med = float(np.median(z[z > 0])) if (z > 0).any() else None
         scale = self._scale
-        if self._last_z is not None:
+        # Preferred anchor: the keyframe's FIXED seeded metric depths
+        # (Keyframe.z).  Ratioing every frame against the same anchor keeps
+        # the per-frame median noise from telescoping multiplicatively
+        # across the keyframe interval (each estimate is independent, not a
+        # random walk on top of the previous frame's estimate).  Frames
+        # only fall back to the previous frame's depths (_last_z) when too
+        # few seeded slots survive, and to the rolling depth median last.
+        kf_common = (ok & kf.z_ok) if kf.z is not None else np.zeros(0)
+        if kf.z is not None and kf_common.sum() >= 8:
+            scale = float(np.median(kf.z[kf_common] / z_all[kf_common]))
+            scale = float(np.clip(scale, 0.1 * self._scale,
+                                  10.0 * self._scale))
+        elif self._last_z is not None:
             common = ok & self._last_z_ok
             if common.sum() >= 8:
                 scale = float(np.median(self._last_z[common]

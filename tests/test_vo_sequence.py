@@ -128,9 +128,12 @@ def test_loop_closure_across_restore_boundary(rng):
         # return leg revisits the outbound imagery
         for f in (frames[2], frames[1], frames[0]):
             fresh.process(f.astype(np.float32) / 255.0)
+        # loop edges run new -> old (e[0] > e[1]); their weight is the
+        # confidence-scaled value from _loop_edge_weight (r5), so identify
+        # them structurally rather than by the constant loop_weight
         crossing = [e for e in fresh.edges
                     if e[1] < n_kf_saved <= e[0]
-                    and e[4] == fresh.cfg.loop_weight
+                    and e[4] > 0
                     and e[0] - e[1] > 1]
         assert crossing, (
             f"no loop edge across the restore boundary; edges="
